@@ -1,0 +1,287 @@
+"""Filter line search: BacktrackingLineSearch + FilterLSAcceptor equivalent.
+
+Reference parity (Waechter-Biegler, Math. Program. 106(1), 2006, Algorithm A;
+``src/Algorithm/IpFilterLSAcceptor.cpp``, ``IpBacktrackingLineSearch.cpp``):
+- fraction-to-boundary alpha_max, alpha_min via eq. (23) (CalculateAlphaMin,
+  IpFilterLSAcceptor.cpp:446),
+- backtracking with filter acceptability (eqs. 18a/18b margins gamma_theta /
+  gamma_phi), f-type switching condition eq. (19) and Armijo eq. (20),
+- second-order corrections (TrySecondOrderCorrection, :531; max_soc/kappa_soc),
+- filter augmentation (AugmentFilter, :295) for non-f-type iterations.
+
+TPU-native design: the filter is a fixed-capacity pair of arrays in the solver
+carry (entries pre-filled with +inf so vacuous comparisons pass); the
+backtracking loop is a bounded ``lax.while_loop`` — each trial costs one fused
+(f, c, d) evaluation, exactly like the reference's one TNLP callback round.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Iterate
+from ..problem import CanonicalNLP
+from ..options import Options
+from ..kkt import (Evals, barrier_obj, grad_barrier_x, grad_barrier_s,
+                   fraction_to_boundary, slacks)
+from .step import StepResult, soc_direction
+
+
+class FilterState(NamedTuple):
+    """Fixed-capacity filter (IpFilter.hpp:19).  Entries store the *margined*
+    corner points ((1-gamma_theta)*theta, phi - gamma_phi*theta); a trial is
+    blocked by entry j iff theta_t >= theta_j AND phi_t >= phi_j."""
+
+    theta: jnp.ndarray  # (cap,)
+    phi: jnp.ndarray    # (cap,)
+    size: jnp.ndarray   # int32
+
+
+def filter_init(cap: int, dtype) -> FilterState:
+    inf = jnp.full((cap,), jnp.inf, dtype)
+    return FilterState(theta=inf, phi=inf, size=jnp.zeros((), jnp.int32))
+
+
+def filter_reset(fs: FilterState) -> FilterState:
+    return FilterState(theta=jnp.full_like(fs.theta, jnp.inf),
+                       phi=jnp.full_like(fs.phi, jnp.inf),
+                       size=jnp.zeros((), jnp.int32))
+
+
+def filter_acceptable(fs: FilterState, theta_t, phi_t):
+    blocked = jnp.any(jnp.logical_and(theta_t >= fs.theta, phi_t >= fs.phi))
+    return jnp.logical_not(blocked)
+
+
+def filter_augment(fs: FilterState, theta, phi, gamma_theta, gamma_phi) -> FilterState:
+    """AugmentFilter (IpFilterLSAcceptor.cpp:295): add the margined pair."""
+    i = jnp.minimum(fs.size, fs.theta.shape[0] - 1)
+    return FilterState(
+        theta=fs.theta.at[i].set((1.0 - gamma_theta) * theta),
+        phi=fs.phi.at[i].set(phi - gamma_phi * theta),
+        size=jnp.minimum(fs.size + 1, fs.theta.shape[0]))
+
+
+class LineSearchResult(NamedTuple):
+    accepted: jnp.ndarray      # bool: a trial point was accepted
+    alpha_primal: jnp.ndarray
+    alpha_dual: jnp.ndarray
+    trial: Iterate             # accepted (or last attempted) trial point
+    trial_ev_f: jnp.ndarray    # f at trial (to seed caches)
+    trial_c: jnp.ndarray
+    trial_d: jnp.ndarray
+    n_backtracks: jnp.ndarray
+    used_soc: jnp.ndarray
+    ftype: jnp.ndarray         # bool: f-type iteration (no filter augmentation)
+    filter: FilterState
+    theta_curr: jnp.ndarray
+    phi_curr: jnp.ndarray
+
+
+def _theta(nlp: CanonicalNLP, c, d, s):
+    return jnp.sum(jnp.abs(c)) + jnp.sum(jnp.abs(d - s))
+
+
+def _eval_theta_phi(nlp: CanonicalNLP, opts: Options, it_trial: Iterate, mu):
+    f_t = nlp.eval_f(it_trial.x)
+    c_t = nlp.eval_c(it_trial.x)
+    d_t = nlp.eval_d(it_trial.x)
+    theta_t = _theta(nlp, c_t, d_t, it_trial.s)
+    phi_t = barrier_obj(nlp, it_trial, f_t, mu, opts.kappa_d)
+    return f_t, c_t, d_t, theta_t, phi_t
+
+
+def _trial_point(it: Iterate, step: Iterate, alpha, alpha_dual):
+    """x,s get alpha; y get alpha (same as primal per Ipopt's default
+    alpha_for_y=primal); z,v get the dual fraction-to-boundary step."""
+    return Iterate(
+        x=it.x + alpha * step.x,
+        s=it.s + alpha * step.s,
+        y_c=it.y_c + alpha * step.y_c,
+        y_d=it.y_d + alpha * step.y_d,
+        z_L=it.z_L + alpha_dual * step.z_L,
+        z_U=it.z_U + alpha_dual * step.z_U,
+        v_L=it.v_L + alpha_dual * step.v_L,
+        v_U=it.v_U + alpha_dual * step.v_U)
+
+
+def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
+                sr: StepResult, mu, tau, fs: FilterState,
+                theta_min, theta_max) -> LineSearchResult:
+    dtype = it.x.dtype
+    step = sr.step
+
+    # Current-point quantities.
+    theta = _theta(nlp, ev.c, ev.d, it.s)
+    phi = barrier_obj(nlp, it, ev.f, mu, opts.kappa_d)
+    gphi_x = (grad_barrier_x(nlp, it, ev.grad_f, mu, opts.kappa_d))
+    gphi_s = grad_barrier_s(nlp, it, mu, opts.kappa_d)
+    gphi_dx = jnp.dot(gphi_x, step.x) + jnp.dot(gphi_s, step.s)
+
+    alpha_max, alpha_dual = fraction_to_boundary(nlp, it, step, tau)
+
+    # alpha_min, eq. (23) / CalculateAlphaMin.
+    descent = gphi_dx < 0
+    mg = -gphi_dx
+    safe_mg = jnp.maximum(mg, jnp.finfo(dtype).tiny)
+    term_phi = opts.gamma_phi * theta / safe_mg
+    term_sw = (opts.delta * theta ** opts.s_theta) / safe_mg ** opts.s_phi
+    amin_case1 = jnp.minimum(jnp.minimum(opts.gamma_theta, term_phi), term_sw)
+    amin_case2 = jnp.minimum(opts.gamma_theta, term_phi)
+    alpha_min = opts.alpha_min_frac * jnp.where(
+        descent,
+        jnp.where(theta <= theta_min, amin_case1, amin_case2),
+        opts.gamma_theta)
+
+    def switching(alpha):
+        return jnp.logical_and(
+            descent,
+            alpha * safe_mg ** opts.s_phi > opts.delta * theta ** opts.s_theta)
+
+    def acceptable(alpha, theta_t, phi_t):
+        """Returns (accept, is_ftype)."""
+        to_filter = jnp.logical_and(filter_acceptable(fs, theta_t, phi_t),
+                                    theta_t <= theta_max)
+        sw = switching(alpha)
+        armijo = phi_t <= phi + opts.eta_phi * alpha * gphi_dx
+        suff = jnp.logical_or(theta_t <= (1.0 - opts.gamma_theta) * theta,
+                              phi_t <= phi - opts.gamma_phi * theta)
+        ftype_case = jnp.logical_and(theta <= theta_min, sw)
+        acc_vs_curr = jnp.where(ftype_case, armijo, suff)
+        # Ipopt also rejects absurd barrier increases (obj_max_inc orders).
+        basval = jnp.maximum(1.0, jnp.abs(phi))
+        not_absurd = phi_t <= phi + 10.0 ** opts.obj_max_inc * basval
+        accept = jnp.logical_and(jnp.logical_and(to_filter, acc_vs_curr), not_absurd)
+        is_ftype = jnp.logical_and(ftype_case, armijo)
+        return accept, is_ftype
+
+    # --- main backtracking loop -----------------------------------------
+    def eval_trial(alpha):
+        it_t = _trial_point(it, step, alpha, alpha_dual)
+        f_t, c_t, d_t, theta_t, phi_t = _eval_theta_phi(nlp, opts, it_t, mu)
+        return it_t, f_t, c_t, d_t, theta_t, phi_t
+
+    class Carry(NamedTuple):
+        k: jnp.ndarray
+        alpha: jnp.ndarray
+        done: jnp.ndarray
+        accepted: jnp.ndarray
+        ftype: jnp.ndarray
+        it_t: Iterate
+        f_t: jnp.ndarray
+        c_t: jnp.ndarray
+        d_t: jnp.ndarray
+        theta_first: jnp.ndarray  # theta at the first (alpha_max) trial
+        used_soc: jnp.ndarray
+        alpha_used: jnp.ndarray
+
+    def try_soc(alpha, c_t, d_t, it_t_s):
+        """Second-order corrections (A-5.7).  Bounded fori over max_soc rounds,
+        each: c_soc = alpha*c + c(trial), resolve with saved factorization."""
+        def soc_body(p, carry):
+            (best_acc, best_ftype, best_it, best_f, best_c, best_d,
+             c_soc, dms_soc, theta_old, active) = carry
+            dsoc = soc_direction(nlp, opts, it, ev, sr.fac, sr.K, mu,
+                                 c_soc, dms_soc)
+            a_soc, a_soc_dual = fraction_to_boundary(nlp, it, dsoc, tau)
+            it_soc = _trial_point(it, dsoc, a_soc, alpha_dual)
+            f_s, c_s, d_s, th_s, ph_s = _eval_theta_phi(nlp, opts, it_soc, mu)
+            acc, isf = acceptable(a_soc, th_s, ph_s)
+            acc = jnp.logical_and(acc, active)
+            # continue SOC only while theta decreases enough (kappa_soc)
+            keep_going = jnp.logical_and(active,
+                                         jnp.logical_and(jnp.logical_not(acc),
+                                                         th_s <= opts.kappa_soc * theta_old))
+            new_c_soc = a_soc * c_soc + c_s
+            new_dms = a_soc * dms_soc + (d_s - it_soc.s)
+            out = (jnp.logical_or(best_acc, acc),
+                   jnp.where(acc, isf, best_ftype),
+                   jax.tree.map(lambda a, b: jnp.where(acc, b, a), best_it, it_soc),
+                   jnp.where(acc, f_s, best_f),
+                   jnp.where(acc, c_s, best_c),
+                   jnp.where(acc, d_s, best_d),
+                   new_c_soc, new_dms, th_s, keep_going)
+            return out
+
+        c_soc0 = alpha * ev.c + c_t
+        dms0 = alpha * (ev.d - it.s) + (d_t - it_t_s)
+        init = (jnp.zeros((), bool), jnp.zeros((), bool), it, ev.f, ev.c, ev.d,
+                c_soc0, dms0, _theta(nlp, c_t, d_t, it_t_s),
+                jnp.ones((), bool))
+        out = lax.fori_loop(0, opts.max_soc, soc_body, init)
+        return out[:6]
+
+    def body(cy: Carry) -> Carry:
+        alpha = cy.alpha
+        it_t, f_t, c_t, d_t, theta_t, phi_t = eval_trial(alpha)
+        acc, isf = acceptable(alpha, theta_t, phi_t)
+
+        # SOC attempt: only on the *first* trial, when rejected and the
+        # constraint violation did not improve (A-5.7 trigger).
+        do_soc = jnp.logical_and(
+            jnp.logical_and(cy.k == 0, jnp.logical_not(acc)),
+            jnp.logical_and(theta_t >= theta, opts.max_soc > 0))
+
+        def with_soc(_):
+            s_acc, s_ftype, s_it, s_f, s_c, s_d = try_soc(alpha, c_t, d_t, it_t.s)
+            return s_acc, s_ftype, s_it, s_f, s_c, s_d
+
+        def without_soc(_):
+            return (jnp.zeros((), bool), jnp.zeros((), bool), it_t, f_t, c_t, d_t)
+
+        s_acc, s_ftype, s_it, s_f, s_c, s_d = lax.cond(
+            do_soc, with_soc, without_soc, None)
+
+        final_acc = jnp.logical_or(acc, s_acc)
+        pick_soc = jnp.logical_and(s_acc, jnp.logical_not(acc))
+        it_sel = jax.tree.map(lambda a, b: jnp.where(pick_soc, b, a), it_t, s_it)
+        f_sel = jnp.where(pick_soc, s_f, f_t)
+        c_sel = jnp.where(pick_soc, s_c, c_t)
+        d_sel = jnp.where(pick_soc, s_d, d_t)
+        ftype_sel = jnp.where(pick_soc, s_ftype, isf)
+
+        # Step to next alpha; stop if accepted or alpha below alpha_min.
+        next_alpha = alpha * opts.alpha_red_factor
+        done = jnp.logical_or(final_acc, next_alpha < alpha_min)
+        return Carry(
+            k=cy.k + 1, alpha=next_alpha, done=done, accepted=final_acc,
+            ftype=ftype_sel, it_t=it_sel, f_t=f_sel, c_t=c_sel, d_t=d_sel,
+            theta_first=jnp.where(cy.k == 0, theta_t, cy.theta_first),
+            used_soc=jnp.logical_or(cy.used_soc, pick_soc),
+            alpha_used=alpha)
+
+    def cond(cy: Carry):
+        return jnp.logical_and(jnp.logical_not(cy.done),
+                               cy.k < opts.max_backtracking_steps)
+
+    it0 = _trial_point(it, step, alpha_max, alpha_dual)
+    init = Carry(k=jnp.zeros((), jnp.int32), alpha=alpha_max,
+                 done=jnp.zeros((), bool), accepted=jnp.zeros((), bool),
+                 ftype=jnp.zeros((), bool), it_t=it0, f_t=ev.f, c_t=ev.c,
+                 d_t=ev.d, theta_first=jnp.zeros((), dtype),
+                 used_soc=jnp.zeros((), bool), alpha_used=alpha_max)
+
+    if opts.accept_every_trial_step:
+        it_t, f_t, c_t, d_t, theta_t, phi_t = eval_trial(alpha_max)
+        out = Carry(k=jnp.ones((), jnp.int32), alpha=alpha_max,
+                    done=jnp.ones((), bool), accepted=jnp.ones((), bool),
+                    ftype=jnp.ones((), bool), it_t=it_t, f_t=f_t, c_t=c_t,
+                    d_t=d_t, theta_first=theta_t, used_soc=jnp.zeros((), bool),
+                    alpha_used=alpha_max)
+    else:
+        out = lax.while_loop(cond, body, init)
+
+    # Filter augmentation for accepted non-f-type iterations (A-6).
+    augment = jnp.logical_and(out.accepted, jnp.logical_not(out.ftype))
+    fs_new = filter_augment(fs, theta, phi, opts.gamma_theta, opts.gamma_phi)
+    fs_out = jax.tree.map(lambda a, b: jnp.where(augment, b, a), fs, fs_new)
+
+    return LineSearchResult(
+        accepted=out.accepted, alpha_primal=out.alpha_used,
+        alpha_dual=alpha_dual, trial=out.it_t, trial_ev_f=out.f_t,
+        trial_c=out.c_t, trial_d=out.d_t, n_backtracks=out.k,
+        used_soc=out.used_soc, ftype=out.ftype, filter=fs_out,
+        theta_curr=theta, phi_curr=phi)

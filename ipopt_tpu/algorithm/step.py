@@ -1,0 +1,181 @@
+"""Search direction computation: the PDFullSpaceSolver + PDPerturbationHandler
+equivalent.
+
+Reference parity:
+- ``PDFullSpaceSolver::Solve`` (``src/Algorithm/IpPDFullSpaceSolver.cpp:497-639``):
+  outer retry loop — factorize the augmented system, check inertia, on
+  SINGULAR/WRONG_INERTIA ask the perturbation handler for new (delta_w, delta_c)
+  and retry; then iterative refinement (``:235-345``).
+- ``PDPerturbationHandler`` (``IpPDPerturbationHandler.cpp:50-116,379-394``):
+  delta_w schedule — first trial 0; on failure start from
+  ``first_hessian_perturbation`` (or ``max(delta_min, delta_last*perturb_dec_fact)``
+  if a perturbation succeeded before); escalate by ``perturb_inc_fact_first`` /
+  ``perturb_inc_fact`` up to ``max_hessian_perturbation``.  Jacobian
+  regularization delta_c = ``jacobian_regularization_value * mu^exponent`` on
+  singularity.
+
+TPU-native design: the retry loop is a bounded ``lax.while_loop`` whose carry
+holds the current deltas and factorization; each round re-assembles and
+re-factorizes (dense LDL^T).  Inertia comes from sign(diag(D)).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Iterate
+from ..problem import CanonicalNLP
+from ..options import Options
+from ..kkt import (Evals, SigmaBlocks, sigmas, assemble_aug_system,
+                   condensed_rhs, split_aug_solution, recover_bound_mult_steps)
+from ..linalg.ldlt import ldlt, ldlt_blocked, ldlt_solve, LDLTResult
+
+
+class StepResult(NamedTuple):
+    step: Iterate            # search direction (all 8 blocks)
+    delta_x: jnp.ndarray     # accepted Hessian perturbation
+    delta_c: jnp.ndarray     # accepted Jacobian regularization
+    delta_w_last: jnp.ndarray  # updated perturbation memory
+    failed: jnp.ndarray      # bool: could not get correct inertia
+    num_trials: jnp.ndarray  # factorization attempts
+    residual_ratio: jnp.ndarray
+    fac: LDLTResult          # the successful factorization (for SOC reuse)
+    K: jnp.ndarray           # the factorized matrix (for refinement/SOC)
+
+
+def _factorize(K, opts: Options):
+    if opts.linear_solver == "dense-ldlt-blocked":
+        return ldlt_blocked(K, block=opts.kkt_block_size, pivot_tol=opts.ldlt_pivot_tol)
+    return ldlt(K, pivot_tol=opts.ldlt_pivot_tol)
+
+
+def solve_with_refinement(K, fac: LDLTResult, rhs, opts: Options):
+    """Solve K x = rhs with iterative refinement (IpPDFullSpaceSolver.cpp:235-345).
+
+    Refinement is against the *factorized* (perturbed) matrix; Ipopt refines on
+    the full 8-block system, which is equivalent here because the bound
+    multiplier rows are eliminated exactly.
+    """
+    sol = ldlt_solve(fac, rhs)
+    rhs_norm = jnp.maximum(jnp.max(jnp.abs(rhs)), 1e-30)
+
+    def ratio(s):
+        r = rhs - K @ s
+        return jnp.max(jnp.abs(r)) / rhs_norm
+
+    def body(carry):
+        i, sol, _ = carry
+        r = rhs - K @ sol
+        sol = sol + ldlt_solve(fac, r)
+        return i + 1, sol, ratio(sol)
+
+    def cond(carry):
+        i, _, rr = carry
+        return jnp.logical_or(
+            i < opts.min_refinement_steps,
+            jnp.logical_and(i < opts.max_refinement_steps,
+                            rr > opts.residual_ratio_max))
+
+    if opts.fast_step_computation:
+        return sol, jnp.zeros((), K.dtype)
+    i0 = jnp.zeros((), jnp.int32)
+    _, sol, rr = lax.while_loop(cond, body, (i0, sol, ratio(sol)))
+    return sol, rr
+
+
+def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
+                             ev: Evals, W, mu, delta_w_last) -> StepResult:
+    """Assemble + factorize (with inertia correction) + solve + recover duals."""
+    n, mi, me = nlp.n, nlp.mi, nlp.me
+    dtype = it.x.dtype
+    sig = sigmas(nlp, it)
+    rhs = condensed_rhs(nlp, it, ev, mu, opts.kappa_d)
+
+    expected_pos = n + mi
+    expected_neg = me + mi
+    delta_cd = (opts.jacobian_regularization_value
+                * mu ** opts.jacobian_regularization_exponent)
+
+    def factor(delta_x, delta_c):
+        K = assemble_aug_system(W, ev.J_c, ev.J_d, sig, delta_x, delta_x,
+                                delta_c, delta_c)
+        fac = _factorize(K, opts)
+        ok = jnp.logical_and(
+            jnp.logical_and(fac.num_pos == expected_pos,
+                            fac.num_neg == expected_neg),
+            jnp.logical_not(fac.singular))
+        return K, fac, ok
+
+    zero = jnp.zeros((), dtype)
+    dx0 = zero
+    dc0 = jnp.where(opts.perturb_always_cd, delta_cd, 0.0)
+    K0, fac0, ok0 = factor(dx0, dc0)
+
+    def cond(carry):
+        trial, delta_x, delta_c, K, fac, ok, gave_up = carry
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(ok, gave_up)),
+            trial < opts.max_inertia_correction_rounds)
+
+    def body(carry):
+        trial, delta_x, delta_c, K, fac, ok, gave_up = carry
+        was_singular = fac.singular
+        # Singular with no Jacobian regularization yet -> try delta_c alone
+        # first (IpPDFullSpaceSolver.cpp:527-545 PerturbForSingularity).
+        only_dc = jnp.logical_and(was_singular, delta_c == 0)
+        new_delta_c = jnp.where(jnp.logical_or(was_singular, delta_c > 0),
+                                jnp.maximum(delta_c, delta_cd), delta_c)
+        # delta_x escalation schedule (PDPerturbationHandler).
+        first_try = (delta_x == 0)
+        start_val = jnp.where(delta_w_last == 0,
+                              opts.first_hessian_perturbation,
+                              jnp.maximum(opts.min_hessian_perturbation,
+                                          delta_w_last * opts.perturb_dec_fact))
+        inc_fact = jnp.where(delta_w_last == 0,
+                             opts.perturb_inc_fact_first, opts.perturb_inc_fact)
+        bumped = jnp.where(first_try, start_val, delta_x * inc_fact)
+        new_delta_x = jnp.where(only_dc, delta_x, bumped)
+        gave_up = new_delta_x > opts.max_hessian_perturbation
+        K, fac, ok = factor(new_delta_x, new_delta_c)
+        return trial + 1, new_delta_x, new_delta_c, K, fac, ok, gave_up
+
+    trial0 = jnp.ones((), jnp.int32)
+    gave0 = jnp.zeros((), bool)
+    trials, delta_x, delta_c, K, fac, ok, gave_up = lax.while_loop(
+        cond, body, (trial0, dx0, dc0, K0, fac0, ok0, gave0))
+
+    sol, rr = solve_with_refinement(K, fac, rhs, opts)
+    dx, ds, dy_c, dy_d = split_aug_solution(sol, n, mi, me)
+    dz_L, dz_U, dv_L, dv_U = recover_bound_mult_steps(nlp, it, dx, ds, mu)
+
+    failed = jnp.logical_not(ok)
+    # Zero the step on failure so downstream arithmetic stays finite.
+    step = Iterate(x=dx, s=ds, y_c=dy_c, y_d=dy_d,
+                   z_L=dz_L, z_U=dz_U, v_L=dv_L, v_U=dv_U)
+    step = jax.tree.map(lambda v: jnp.where(failed, jnp.zeros_like(v), v), step)
+
+    new_delta_w_last = jnp.where(delta_x > 0, delta_x, delta_w_last)
+    return StepResult(step=step, delta_x=delta_x, delta_c=delta_c,
+                      delta_w_last=new_delta_w_last, failed=failed,
+                      num_trials=trials, residual_ratio=rr, fac=fac, K=K)
+
+
+def soc_direction(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
+                  fac: LDLTResult, K, mu, c_soc, dms_soc):
+    """Second-order correction direction: same factorization, constraint parts
+    of the rhs replaced by the SOC values (FilterLSAcceptor::
+    TrySecondOrderCorrection, IpFilterLSAcceptor.cpp:531, soc_method=0)."""
+    from ..kkt import grad_barrier_x, grad_barrier_s
+    r_x = (grad_barrier_x(nlp, it, ev.grad_f, mu, opts.kappa_d)
+           + ev.J_c.T @ it.y_c + ev.J_d.T @ it.y_d)
+    r_s = grad_barrier_s(nlp, it, mu, opts.kappa_d) - it.y_d
+    rhs = -jnp.concatenate([r_x, r_s, c_soc, dms_soc])
+    sol, _ = solve_with_refinement(K, fac, rhs, opts)
+    n, mi, me = nlp.n, nlp.mi, nlp.me
+    dx, ds, dy_c, dy_d = split_aug_solution(sol, n, mi, me)
+    dz_L, dz_U, dv_L, dv_U = recover_bound_mult_steps(nlp, it, dx, ds, mu)
+    return Iterate(x=dx, s=ds, y_c=dy_c, y_d=dy_d,
+                   z_L=dz_L, z_U=dz_U, v_L=dv_L, v_U=dv_U)

@@ -1,0 +1,366 @@
+"""Typed option registry + option store.
+
+Reference parity: Ipopt's two-tier config system — ``RegisteredOptions`` (typed
+schema with bounds/enums/docs, ``src/Common/IpRegOptions.hpp:683``) and
+``OptionsList`` (string store with prefix scoping and ``ipopt.opt`` file parsing,
+``src/Common/IpOptionsList.hpp:32``).  Here the schema is a declarative registry
+of ``OptionSpec`` and the resolved store is an immutable ``Options`` dataclass
+(hashable, so it can be a static jit argument).  Ipopt option *names and default
+values* are preserved so existing Ipopt users can carry their settings over.
+
+The ``resto.`` prefix scoping of the reference (restoration sub-algorithm reads
+``resto.*`` variants, ``IpAlgBuilder.cpp:900-935``) is supported via
+``Options.with_prefix_overrides``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, Optional, Tuple
+
+_REGISTRY: Dict[str, "OptionSpec"] = {}
+
+
+@dataclass(frozen=True)
+class OptionSpec:
+    name: str
+    default: Any
+    category: str
+    doc: str
+    lower: Optional[float] = None
+    upper: Optional[float] = None
+    lower_strict: bool = False
+    upper_strict: bool = False
+    choices: Optional[Tuple[str, ...]] = None
+
+    def validate(self, value) -> None:
+        if self.choices is not None:
+            if value not in self.choices:
+                raise ValueError(
+                    f"option '{self.name}': value {value!r} not in {self.choices}")
+            return
+        if isinstance(self.default, bool):
+            if not isinstance(value, bool):
+                raise ValueError(f"option '{self.name}': expected bool, got {value!r}")
+            return
+        if isinstance(self.default, (int, float)):
+            if not isinstance(value, (int, float)):
+                raise ValueError(
+                    f"option '{self.name}': expected number, got {value!r}")
+            if self.lower is not None:
+                if self.lower_strict and not value > self.lower:
+                    raise ValueError(f"option '{self.name}': must be > {self.lower}")
+                if not self.lower_strict and not value >= self.lower:
+                    raise ValueError(f"option '{self.name}': must be >= {self.lower}")
+            if self.upper is not None:
+                if self.upper_strict and not value < self.upper:
+                    raise ValueError(f"option '{self.name}': must be < {self.upper}")
+                if not self.upper_strict and not value <= self.upper:
+                    raise ValueError(f"option '{self.name}': must be <= {self.upper}")
+
+
+def _opt(default, category, doc, lower=None, upper=None, lower_strict=False,
+         upper_strict=False, choices=None):
+    """Declare a registered option as a dataclass field (metadata carries the spec)."""
+    return field(default=default, metadata=dict(
+        category=category, doc=doc, lower=lower, upper=upper,
+        lower_strict=lower_strict, upper_strict=upper_strict,
+        choices=tuple(choices) if choices else None))
+
+
+@dataclass(frozen=True)
+class Options:
+    """All solver options, with Ipopt names and defaults.
+
+    Frozen + hashable so an Options instance can be passed as a static argument
+    to jit'd solver entry points; numeric values used inside traced code are
+    baked in as compile-time constants (as in Ipopt, options never change during
+    a solve).
+    """
+
+    # ---- Output (IpIpoptApplication.cpp) ----
+    print_level: int = _opt(5, "Output", "Verbosity 0..12 (J_* levels).", 0, 12)
+    print_frequency_iter: int = _opt(1, "Output", "Print every N iterations.", 1)
+    timing_statistics: bool = _opt(False, "Output", "Collect per-phase timings.")
+
+    # ---- Termination (IpIpoptData.cpp:27, IpOptErrorConvCheck.cpp) ----
+    tol: float = _opt(1e-8, "Termination", "Desired scaled NLP error.", 0.0, lower_strict=True)
+    max_iter: int = _opt(3000, "Termination", "Maximum iterations.", 0)
+    max_wall_time: float = _opt(1e20, "Termination", "Wall clock limit (s).", 0.0, lower_strict=True)
+    max_cpu_time: float = _opt(1e6, "Termination", "CPU time limit (s).", 0.0, lower_strict=True)
+    dual_inf_tol: float = _opt(1.0, "Termination", "Unscaled dual infeasibility tol.", 0.0, lower_strict=True)
+    constr_viol_tol: float = _opt(1e-4, "Termination", "Unscaled constraint violation tol.", 0.0, lower_strict=True)
+    compl_inf_tol: float = _opt(1e-4, "Termination", "Unscaled complementarity tol.", 0.0, lower_strict=True)
+    s_max: float = _opt(100.0, "Termination", "Scaling threshold s_max in E_mu.", 0.0, lower_strict=True)
+    acceptable_tol: float = _opt(1e-6, "Termination", "Acceptable scaled NLP error.", 0.0, lower_strict=True)
+    acceptable_iter: int = _opt(15, "Termination", "Consecutive acceptable iters before stop.", 0)
+    acceptable_dual_inf_tol: float = _opt(1e10, "Termination", "Acceptable dual infeasibility.", 0.0, lower_strict=True)
+    acceptable_constr_viol_tol: float = _opt(1e-2, "Termination", "Acceptable constraint violation.", 0.0, lower_strict=True)
+    acceptable_compl_inf_tol: float = _opt(1e-2, "Termination", "Acceptable complementarity.", 0.0, lower_strict=True)
+    acceptable_obj_change_tol: float = _opt(1e20, "Termination", "Acceptable relative objective change.", 0.0)
+    diverging_iterates_tol: float = _opt(1e20, "Termination", "Divergence threshold on ||x||_inf.", 0.0, lower_strict=True)
+    mu_target: float = _opt(0.0, "Termination", "Target barrier parameter.", 0.0)
+
+    # ---- NLP (IpOrigIpoptNLP.cpp, IpTNLPAdapter.cpp) ----
+    bound_relax_factor: float = _opt(1e-8, "NLP", "Relative bound relaxation at setup.", 0.0)
+    honor_original_bounds: bool = _opt(False, "NLP", "Project final x onto original bounds.")
+    check_derivatives_for_naninf: bool = _opt(False, "NLP", "NaN/Inf guards on derivatives.")
+    fixed_variable_treatment: str = _opt(
+        "make_parameter", "NLP", "How to handle x_L==x_U variables.",
+        choices=("make_parameter", "make_parameter_nodual", "make_constraint", "relax_bounds"))
+    kappa_d: float = _opt(1e-5, "NLP", "Weight for linear damping term.", 0.0)
+
+    # ---- NLP scaling (IpGradientScaling.cpp) ----
+    nlp_scaling_method: str = _opt(
+        "gradient-based", "NLP Scaling", "Scaling technique for the NLP.",
+        choices=("none", "user-scaling", "gradient-based", "equilibration-based"))
+    obj_scaling_factor: float = _opt(1.0, "NLP Scaling", "Extra objective scaling factor.")
+    nlp_scaling_max_gradient: float = _opt(100.0, "NLP Scaling", "Gradient cap defining scaling.", 0.0, lower_strict=True)
+    nlp_scaling_min_value: float = _opt(1e-8, "NLP Scaling", "Minimum scaling value.", 0.0)
+
+    # ---- Initialization (IpDefaultIterateInitializer.cpp) ----
+    bound_push: float = _opt(0.01, "Initialization", "kappa_1: absolute initial bound push.", 0.0, lower_strict=True)
+    bound_frac: float = _opt(0.01, "Initialization", "kappa_2: relative initial bound push.", 0.0, 0.5, lower_strict=True)
+    slack_bound_push: float = _opt(0.01, "Initialization", "kappa_1 for slacks.", 0.0, lower_strict=True)
+    slack_bound_frac: float = _opt(0.01, "Initialization", "kappa_2 for slacks.", 0.0, 0.5, lower_strict=True)
+    bound_mult_init_val: float = _opt(1.0, "Initialization", "Initial bound multiplier value.", 0.0, lower_strict=True)
+    bound_mult_init_method: str = _opt(
+        "constant", "Initialization", "How to initialize bound multipliers.",
+        choices=("constant", "mu-based"))
+    constr_mult_init_max: float = _opt(1e3, "Initialization", "Max least-squares y before reset to 0.", 0.0)
+    least_square_init_primal: bool = _opt(False, "Initialization", "Least-squares initial primals.")
+    least_square_init_duals: bool = _opt(False, "Initialization", "Least-squares all duals.")
+    warm_start_init_point: bool = _opt(False, "Warm Start", "Use user-provided primal-dual point.")
+
+    # ---- Warm start (IpWarmStartIterateInitializer.cpp) ----
+    warm_start_bound_push: float = _opt(1e-3, "Warm Start", "Bound push for warm starts.", 0.0, lower_strict=True)
+    warm_start_bound_frac: float = _opt(1e-3, "Warm Start", "Bound frac for warm starts.", 0.0, 0.5, lower_strict=True)
+    warm_start_slack_bound_push: float = _opt(1e-3, "Warm Start", "Slack bound push for warm starts.", 0.0, lower_strict=True)
+    warm_start_slack_bound_frac: float = _opt(1e-3, "Warm Start", "Slack bound frac for warm starts.", 0.0, 0.5, lower_strict=True)
+    warm_start_mult_bound_push: float = _opt(1e-3, "Warm Start", "Multiplier push for warm starts.", 0.0, lower_strict=True)
+    warm_start_mult_init_max: float = _opt(1e6, "Warm Start", "Max warm-start multiplier magnitude.")
+    warm_start_entire_iterate: bool = _opt(False, "Warm Start", "Restore full iterate incl. slacks.")
+
+    # ---- Barrier parameter (IpMonotoneMuUpdate.cpp, IpAdaptiveMuUpdate.cpp) ----
+    mu_strategy: str = _opt("monotone", "Barrier", "Update strategy for mu.",
+                            choices=("monotone", "adaptive"))
+    mu_oracle: str = _opt("quality-function", "Barrier", "Oracle for adaptive mu.",
+                          choices=("probing", "loqo", "quality-function"))
+    fixed_mu_oracle: str = _opt("average_compl", "Barrier", "Oracle for fixed-mode mu.",
+                                choices=("probing", "loqo", "quality-function", "average_compl"))
+    mu_init: float = _opt(0.1, "Barrier", "Initial barrier parameter.", 0.0, lower_strict=True)
+    mu_max_fact: float = _opt(1e3, "Barrier", "Factor for mu_max from avg compl.", 0.0, lower_strict=True)
+    mu_max: float = _opt(1e5, "Barrier", "Max mu in adaptive mode.", 0.0, lower_strict=True)
+    mu_min: float = _opt(1e-11, "Barrier", "Min mu in adaptive mode.", 0.0, lower_strict=True)
+    barrier_tol_factor: float = _opt(10.0, "Barrier", "kappa_epsilon: barrier problem tol = factor*mu.", 0.0, lower_strict=True)
+    mu_linear_decrease_factor: float = _opt(0.2, "Barrier", "kappa_mu.", 0.0, 1.0, True, True)
+    mu_superlinear_decrease_power: float = _opt(1.5, "Barrier", "theta_mu.", 1.0, 2.0, True, True)
+    tau_min: float = _opt(0.99, "Barrier", "Min fraction-to-boundary tau.", 0.0, 1.0, True, True)
+    mu_allow_fast_monotone_decrease: bool = _opt(True, "Barrier", "Allow mu decrease without a step.")
+    adaptive_mu_globalization: str = _opt(
+        "obj-constr-filter", "Barrier", "Globalization for adaptive mu.",
+        choices=("kkt-error", "obj-constr-filter", "never-monotone-mode"))
+    adaptive_mu_kkterror_red_iters: int = _opt(4, "Barrier", "Max iters without kkt-error decrease.", 0)
+    adaptive_mu_kkterror_red_fact: float = _opt(0.9999, "Barrier", "Required kkt-error reduction.", 0.0, 1.0, True, True)
+    adaptive_mu_monotone_init_factor: float = _opt(0.8, "Barrier", "Initial mu factor after switch to monotone.", 0.0, lower_strict=True)
+    quality_function_max_section_steps: int = _opt(8, "Barrier", "Golden-section iterations.", 0)
+    quality_function_section_sigma_tol: float = _opt(0.01, "Barrier", "Section search sigma tolerance.", 0.0, 1.0, upper_strict=True)
+    quality_function_section_qf_tol: float = _opt(0.0, "Barrier", "Section search qf tolerance.", 0.0, 1.0, upper_strict=True)
+    sigma_max: float = _opt(100.0, "Barrier", "Max centering sigma.", 0.0, lower_strict=True)
+    sigma_min: float = _opt(1e-6, "Barrier", "Min centering sigma.", 0.0)
+    mehrotra_algorithm: bool = _opt(False, "Barrier", "Mehrotra predictor-corrector mode.")
+
+    # ---- Line search (IpFilterLSAcceptor.cpp, IpBacktrackingLineSearch.cpp) ----
+    line_search_method: str = _opt("filter", "Line Search", "Globalization method.",
+                                   choices=("filter", "penalty", "cg-penalty", "none"))
+    alpha_red_factor: float = _opt(0.5, "Line Search", "Step reduction factor.", 0.0, 1.0, True, True)
+    max_soc: int = _opt(4, "Line Search", "Max second-order correction steps.", 0)
+    kappa_soc: float = _opt(0.99, "Line Search", "SOC sufficient-reduction factor.", 0.0, lower_strict=True)
+    theta_max_fact: float = _opt(1e4, "Line Search", "theta_max = fact*max(1,theta0).", 0.0, lower_strict=True)
+    theta_min_fact: float = _opt(1e-4, "Line Search", "theta_min = fact*max(1,theta0).", 0.0, lower_strict=True)
+    eta_phi: float = _opt(1e-8, "Line Search", "Armijo factor.", 0.0, 0.5, True, True)
+    delta: float = _opt(1.0, "Line Search", "Switching rule multiplier.", 0.0, lower_strict=True)
+    s_phi: float = _opt(2.3, "Line Search", "Switching rule phi exponent.", 1.0, lower_strict=True)
+    s_theta: float = _opt(1.1, "Line Search", "Switching rule theta exponent.", 1.0, lower_strict=True)
+    gamma_phi: float = _opt(1e-8, "Line Search", "Filter margin factor (phi).", 0.0, 1.0, True, True)
+    gamma_theta: float = _opt(1e-5, "Line Search", "Filter margin factor (theta).", 0.0, 1.0, True, True)
+    alpha_min_frac: float = _opt(0.05, "Line Search", "gamma_alpha for alpha_min.", 0.0, 1.0, True, True)
+    max_backtracking_steps: int = _opt(40, "Line Search", "Max trial steps per iteration (static bound; "
+                                       "Ipopt's watchdog_trial_iter bound analog).", 1)
+    obj_max_inc: float = _opt(5.0, "Line Search", "Max orders of magnitude barrier increase.", 1.0, lower_strict=True)
+    max_filter_resets: int = _opt(5, "Line Search", "Max filter reset heuristic count.", 0)
+    filter_reset_trigger: int = _opt(5, "Line Search", "Iterations triggering filter reset.", 1)
+    accept_every_trial_step: bool = _opt(False, "Line Search", "Disable line search (full steps).")
+    accept_after_max_steps: int = _opt(-1, "Line Search", "Accept after N backtracks regardless.", -1)
+    watchdog_shortened_iter_trigger: int = _opt(10, "Line Search", "Shortened iters before watchdog.", 0)
+    watchdog_trial_iter_max: int = _opt(3, "Line Search", "Max watchdog trial iterations.", 1)
+    tiny_step_tol: float = _opt(10.0 * 2.22e-16, "Line Search", "Tiny step detection tol.", 0.0)
+    tiny_step_y_tol: float = _opt(1e-2, "Line Search", "Tiny step dual tolerance.", 0.0)
+    max_filter_size: int = _opt(100, "Line Search", "Static filter capacity (TPU-specific).", 4)
+    kappa_sigma: float = _opt(1e10, "Line Search", "Bound multiplier clipping factor.", 0.0, lower_strict=True)
+    recalc_y: bool = _opt(False, "Line Search", "Recompute y by least squares after steps.")
+    recalc_y_feas_tol: float = _opt(1e-6, "Line Search", "Feasibility threshold for recalc_y.", 0.0, lower_strict=True)
+    expect_infeasible_problem: bool = _opt(False, "Line Search", "Enable infeasibility heuristics.")
+    expect_infeasible_problem_ctol: float = _opt(1e-3, "Line Search", "Infeasibility heuristic trigger tol.", 0.0)
+    expect_infeasible_problem_ytol: float = _opt(1e8, "Line Search", "Multiplier threshold for resto trigger.", 0.0, lower_strict=True)
+    soft_resto_pderror_reduction_factor: float = _opt(0.9999, "Restoration", "Soft resto required pd-error reduction.", 0.0)
+    max_soft_resto_iters: int = _opt(10, "Restoration", "Max soft restoration iterations.", 0)
+
+    # ---- Restoration phase (IpRestoMinC_1Nrm.cpp, IpRestoIpoptNLP.cpp) ----
+    start_with_resto: bool = _opt(False, "Restoration", "Start directly in restoration.")
+    required_infeasibility_reduction: float = _opt(0.9, "Restoration", "Required theta reduction in resto.", 0.0, 1.0, upper_strict=True)
+    max_resto_iter: int = _opt(3000000, "Restoration", "Max cumulative restoration iterations.", 0)
+    resto_penalty_parameter: float = _opt(1000.0, "Restoration", "rho in the resto objective.", 0.0, lower_strict=True)
+    resto_proximity_weight: float = _opt(1.0, "Restoration", "Weight of proximity term (zeta scale).", 0.0)
+    bound_mult_reset_threshold: float = _opt(1000.0, "Restoration", "Reset z after resto if larger.", 0.0)
+    constr_mult_reset_threshold: float = _opt(0.0, "Restoration", "Reset y after resto if larger.", 0.0)
+    resto_failure_feasibility_threshold: float = _opt(0.0, "Restoration", "0 means 1e2*tol.", 0.0)
+
+    # ---- Linear solver / step computation (IpPDFullSpaceSolver.cpp) ----
+    linear_solver: str = _opt("dense-ldlt", "Linear Solver",
+                              "KKT factorization backend (TPU-native).",
+                              choices=("dense-ldlt", "dense-ldlt-blocked", "condensed-cholesky"))
+    min_refinement_steps: int = _opt(1, "Linear Solver", "Min iterative refinement steps.", 0)
+    max_refinement_steps: int = _opt(10, "Linear Solver", "Max iterative refinement steps.", 0)
+    residual_ratio_max: float = _opt(1e-10, "Linear Solver", "Acceptable residual ratio.", 0.0, lower_strict=True)
+    residual_ratio_singular: float = _opt(1e-5, "Linear Solver", "Residual ratio declaring singularity.", 0.0, lower_strict=True)
+    residual_improvement_factor: float = _opt(1.0, "Linear Solver", "Required refinement improvement.", 0.0, lower_strict=True)
+    neg_curv_test_tol: float = _opt(0.0, "Linear Solver", "Inertia-free negative curvature tol.", 0.0)
+    neg_curv_test_reg: bool = _opt(True, "Linear Solver", "Use primal regularization in curvature test.")
+    fast_step_computation: bool = _opt(False, "Linear Solver", "Trust solves; skip residual checks.")
+    mehrotra_probing: bool = _opt(False, "Linear Solver", "internal", )
+    ldlt_pivot_tol: float = _opt(0.0, "Linear Solver", "Static-pivot zero threshold (0: dtype eps based).", 0.0)
+
+    # ---- Inertia correction (IpPDPerturbationHandler.cpp) ----
+    max_hessian_perturbation: float = _opt(1e20, "Hessian Perturbation", "delta_w^max.", 0.0, lower_strict=True)
+    min_hessian_perturbation: float = _opt(1e-20, "Hessian Perturbation", "delta_w^min.", 0.0)
+    perturb_inc_fact_first: float = _opt(100.0, "Hessian Perturbation", "kappa_w^+ bar (first).", 1.0, lower_strict=True)
+    perturb_inc_fact: float = _opt(8.0, "Hessian Perturbation", "kappa_w^+.", 1.0, lower_strict=True)
+    perturb_dec_fact: float = _opt(1.0 / 3.0, "Hessian Perturbation", "kappa_w^-.", 0.0, 1.0, True, True)
+    first_hessian_perturbation: float = _opt(1e-4, "Hessian Perturbation", "delta_0.", 0.0, lower_strict=True)
+    jacobian_regularization_value: float = _opt(1e-8, "Hessian Perturbation", "delta_c bar.", 0.0)
+    jacobian_regularization_exponent: float = _opt(0.25, "Hessian Perturbation", "kappa_c.", 0.0)
+    perturb_always_cd: bool = _opt(False, "Hessian Perturbation", "Always perturb c/d blocks.")
+    max_inertia_correction_rounds: int = _opt(40, "Hessian Perturbation",
+                                              "Static bound on correction loop (TPU-specific).", 1)
+
+    # ---- Hessian approximation (IpLimMemQuasiNewtonUpdater.cpp) ----
+    hessian_approximation: str = _opt("exact", "Hessian Approximation", "Exact AD Hessian or L-BFGS.",
+                                      choices=("exact", "limited-memory"))
+    limited_memory_update_type: str = _opt("bfgs", "Hessian Approximation", "Quasi-Newton formula.",
+                                           choices=("bfgs", "sr1"))
+    limited_memory_max_history: int = _opt(6, "Hessian Approximation", "L-BFGS history length.", 0)
+    limited_memory_max_skipping: int = _opt(2, "Hessian Approximation", "Max skipped updates before reset.", 1)
+    limited_memory_init_val: float = _opt(1.0, "Hessian Approximation", "Initial diagonal sigma.", 0.0, lower_strict=True)
+    limited_memory_init_val_max: float = _opt(1e8, "Hessian Approximation", "Max sigma.", 0.0, lower_strict=True)
+    limited_memory_init_val_min: float = _opt(1e-8, "Hessian Approximation", "Min sigma.", 0.0, lower_strict=True)
+    limited_memory_initialization: str = _opt("scalar1", "Hessian Approximation", "Sigma strategy.",
+                                              choices=("scalar1", "scalar2", "scalar3", "scalar4", "constant"))
+
+    # ---- Derivative checker (IpTNLPAdapter.cpp:2983) ----
+    derivative_test: str = _opt("none", "Derivative Checker", "FD-vs-AD verification mode.",
+                                choices=("none", "first-order", "second-order", "only-second-order"))
+    derivative_test_perturbation: float = _opt(1e-8, "Derivative Checker", "FD step size.", 0.0, lower_strict=True)
+    derivative_test_tol: float = _opt(1e-4, "Derivative Checker", "Relative error threshold.", 0.0, lower_strict=True)
+
+    # ---- TPU-specific ----
+    dtype: str = _opt("float64", "TPU", "Compute dtype for the IPM core.",
+                      choices=("float32", "float64"))
+    factorization_dtype: str = _opt("", "TPU", "Dtype for KKT factorization ('' = same as dtype).",
+                                    choices=("", "float32", "float64"))
+    kkt_block_size: int = _opt(128, "TPU", "Block size for blocked/Pallas factorizations.", 8)
+    use_pallas: bool = _opt(False, "TPU", "Use Pallas kernels where available.")
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        for f in fields(self):
+            spec = spec_of(f.name)
+            spec.validate(getattr(self, f.name))
+
+    def replace(self, **kwargs) -> "Options":
+        return dataclasses.replace(self, **kwargs)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Options":
+        return cls().replace(**d)
+
+    def with_prefix_overrides(self, prefix_values: Dict[str, Any]) -> "Options":
+        """Apply e.g. {'resto.max_iter': 50} style scoped overrides."""
+        plain = {k.split(".", 1)[1]: v for k, v in prefix_values.items()}
+        return self.replace(**plain)
+
+    # Restoration-phase defaults, mirroring IpAlgBuilder.cpp:858-1043 where the
+    # resto sub-algorithm gets its own OptionsList with the "resto." prefix and
+    # altered defaults (resto.constr_mult_init_max=0 etc.).
+    def resto_options(self) -> "Options":
+        return self.replace(
+            constr_mult_init_max=0.0,
+            expect_infeasible_problem=False,
+            nlp_scaling_method="none",
+        )
+
+
+def spec_of(name: str) -> OptionSpec:
+    if not _REGISTRY:
+        for f in fields(Options):
+            md = f.metadata
+            _REGISTRY[f.name] = OptionSpec(
+                name=f.name, default=f.default, category=md["category"],
+                doc=md["doc"], lower=md["lower"], upper=md["upper"],
+                lower_strict=md["lower_strict"], upper_strict=md["upper_strict"],
+                choices=md["choices"])
+    return _REGISTRY[name]
+
+
+def all_specs() -> Dict[str, OptionSpec]:
+    spec_of("tol")  # populate
+    return dict(_REGISTRY)
+
+
+def print_options_documentation() -> str:
+    """Mirrors Ipopt's print_options_documentation (IpRegOptions latex/doc dump)."""
+    by_cat: Dict[str, list] = {}
+    for spec in all_specs().values():
+        by_cat.setdefault(spec.category, []).append(spec)
+    lines = []
+    for cat in sorted(by_cat):
+        lines.append(f"\n### {cat}\n")
+        for spec in sorted(by_cat[cat], key=lambda s: s.name):
+            rng = ""
+            if spec.choices:
+                rng = f" one of {spec.choices}"
+            elif spec.lower is not None or spec.upper is not None:
+                lo = "(" if spec.lower_strict else "["
+                hi = ")" if spec.upper_strict else "]"
+                rng = f" range {lo}{spec.lower}, {spec.upper}{hi}"
+            lines.append(f"{spec.name} (default {spec.default!r}){rng}\n    {spec.doc}")
+    return "\n".join(lines)
+
+
+def parse_options_file(text: str) -> Dict[str, Any]:
+    """Parse an ``ipopt.opt``-style file (OptionsList::ReadFromStream,
+    IpOptionsList.hpp:341): '# comment' lines, 'name value' pairs."""
+    out: Dict[str, Any] = {}
+    specs = all_specs()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(f"cannot parse option line: {raw!r}")
+        name, sval = parts[0], parts[1].strip()
+        base = name.split(".", 1)[-1]
+        if base not in specs:
+            raise ValueError(f"unknown option: {name}")
+        spec = specs[base]
+        if spec.choices is not None:
+            out[name] = sval
+        elif isinstance(spec.default, bool):
+            out[name] = sval.lower() in ("yes", "true", "1")
+        elif isinstance(spec.default, int) and not isinstance(spec.default, bool):
+            out[name] = int(sval)
+        else:
+            out[name] = float(sval)
+    return out

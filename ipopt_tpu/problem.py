@@ -1,0 +1,307 @@
+"""Problem definition and canonicalization — the TNLP / TNLPAdapter equivalent.
+
+Reference parity:
+- ``TNLP`` (``src/Interfaces/IpTNLP.hpp:47``): the user provides n, m, bounds,
+  starting point, and callbacks eval_f/grad_f/g/jac_g/h.  Here the user provides
+  two **JAX functions** ``f(x)`` and ``g(x)`` plus bound arrays; gradients,
+  Jacobians and the Lagrangian Hessian come from autodiff (jax.grad /
+  jax.jacfwd / jax.hessian) instead of hand-coded triplets.
+- ``TNLPAdapter`` (``src/Interfaces/IpTNLPAdapter.hpp``): converts the general
+  form g_L <= g(x) <= g_U into the internal split form c(x)=0 /
+  d_L <= d(x) <= d_U, handles fixed variables, and relaxes bounds by
+  ``bound_relax_factor`` (``IpOrigIpoptNLP.cpp:54-357`` does the relaxation in
+  the reference).  Here that conversion is a *static* (trace-time) analysis done
+  once in numpy, producing index sets that become gather/scatter ops — the
+  vectorized analogue of the reference's ExpansionMatrix machinery.
+
+All runtime evaluation is pure and jit/vmap-compatible.  Infinite bounds are
+handled densely with masks (slack = 1 and multiplier = 0 where a bound is
+missing) rather than with compressed vectors, which keeps every shape static.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Any, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .options import Options
+
+
+@dataclasses.dataclass
+class NLP:
+    """User problem spec:  min f(x)  s.t.  g_L <= g(x) <= g_U,  x_L <= x <= x_U.
+
+    Equalities are expressed as g_L[i] == g_U[i], exactly as in TNLP
+    (IpTNLP.hpp:99 get_nlp_info / get_bounds_info).
+    """
+
+    f: Callable[[Any], Any]
+    x0: Any
+    g: Optional[Callable[[Any], Any]] = None
+    x_L: Optional[Any] = None
+    x_U: Optional[Any] = None
+    g_L: Optional[Any] = None
+    g_U: Optional[Any] = None
+    # Optional warm-start data (TNLP::get_starting_point with init_z/init_lambda)
+    y0: Optional[Any] = None        # constraint multipliers, shape (m,)
+    z_L0: Optional[Any] = None
+    z_U0: Optional[Any] = None
+    name: str = "nlp"
+
+
+class CanonicalStructure(NamedTuple):
+    """Static (python/numpy) structure computed once at setup."""
+
+    n_full: int          # user-visible number of variables
+    n: int               # free variables after fixed-variable treatment
+    m: int               # total constraints in user space
+    me: int              # equality constraints
+    mi: int              # inequality constraints
+    eq_idx: np.ndarray   # indices into g of equalities, (me,)
+    ineq_idx: np.ndarray  # indices into g of inequalities, (mi,)
+    free_idx: np.ndarray  # indices into x_full of free variables, (n,)
+    fixed_idx: np.ndarray  # indices into x_full of fixed variables
+    fixed_treatment: str
+
+
+class CanonicalNLP(NamedTuple):
+    """The internal problem form (NLP layer, IpNLP.hpp:41):
+
+        min f(x)   s.t.  c(x) = 0,   d_L <= d(x) <= d_U,   x_L <= x <= x_U
+
+    with *relaxed* bounds already applied, masks for infinite bounds, and all
+    evaluation closures capturing the user's f/g.  This is a pytree whose array
+    leaves can be donated/sharded; the callables and structure ride along as
+    static fields.
+    """
+
+    # static
+    struct: CanonicalStructure
+    f: Callable
+    g: Optional[Callable]
+    # arrays (free-variable space, relaxed bounds)
+    x_L: Any
+    x_U: Any
+    d_L: Any
+    d_U: Any
+    has_xL: Any   # bool masks for finite bounds
+    has_xU: Any
+    has_dL: Any
+    has_dU: Any
+    c_rhs: Any    # g_U values on equality rows: c(x) = g_eq(x) - c_rhs
+    x_fixed: Any  # values of fixed variables (full space)
+    x0: Any
+    # original (unrelaxed) bounds for honor_original_bounds / violations
+    x_L_orig: Any
+    x_U_orig: Any
+    # scaling (df scalar, dx (n,), dc (me,), dd (mi,)); applied inside evals
+    obj_scale: Any
+    c_scale: Any
+    d_scale: Any
+
+    # -- convenience -------------------------------------------------------
+    @property
+    def n(self):
+        return self.struct.n
+
+    @property
+    def me(self):
+        return self.struct.me
+
+    @property
+    def mi(self):
+        return self.struct.mi
+
+    # -- full-space reconstruction ----------------------------------------
+    def x_full(self, x):
+        """Scatter free variables back into user space (TNLPAdapter::ResortX,
+        IpTNLPAdapter.cpp:2400)."""
+        s = self.struct
+        if s.n == s.n_full:
+            return x
+        out = self.x_fixed
+        return out.at[jnp.asarray(s.free_idx)].set(x)
+
+    # -- evaluation (all pure; scaled) ------------------------------------
+    def eval_f(self, x):
+        return self.obj_scale * self.f(self.x_full(x))
+
+    def eval_grad_f(self, x):
+        return jax.grad(self.eval_f)(x)
+
+    def _g_split(self, xf):
+        gv = self.g(xf)
+        s = self.struct
+        c = gv[jnp.asarray(s.eq_idx)] - self.c_rhs if s.me else jnp.zeros((0,), xf.dtype)
+        d = gv[jnp.asarray(s.ineq_idx)] if s.mi else jnp.zeros((0,), xf.dtype)
+        return self.c_scale * c, self.d_scale * d
+
+    def eval_c(self, x):
+        if self.g is None:
+            return jnp.zeros((0,), x.dtype)
+        return self._g_split(self.x_full(x))[0]
+
+    def eval_d(self, x):
+        if self.g is None:
+            return jnp.zeros((0,), x.dtype)
+        return self._g_split(self.x_full(x))[1]
+
+    def eval_jac_c(self, x):
+        if self.struct.me == 0:
+            return jnp.zeros((0, self.n), x.dtype)
+        return jax.jacfwd(self.eval_c)(x)
+
+    def eval_jac_d(self, x):
+        if self.struct.mi == 0:
+            return jnp.zeros((0, self.n), x.dtype)
+        return jax.jacfwd(self.eval_d)(x)
+
+    def eval_lag_hess(self, x, y_c, y_d, obj_factor=1.0):
+        """W = obj_factor * sigma_f ∇²f + Σ y_c_i ∇²c_i + Σ y_d_j ∇²d_j.
+
+        Reference: TNLP::eval_h with obj_factor+lambda (IpTNLP.hpp:460); here a
+        single jax.hessian of the Lagrangian scalar.
+        """
+        def lag(xx):
+            val = obj_factor * self.eval_f(xx)
+            if self.struct.me:
+                val = val + jnp.dot(y_c, self.eval_c(xx))
+            if self.struct.mi:
+                val = val + jnp.dot(y_d, self.eval_d(xx))
+            return val
+        return jax.hessian(lag)(x)
+
+    def eval_all(self, x):
+        """One fused evaluation of f, grad_f, c, d, Jc, Jd (shares the g trace)."""
+        return (self.eval_f(x), self.eval_grad_f(x), self.eval_c(x),
+                self.eval_d(x), self.eval_jac_c(x), self.eval_jac_d(x))
+
+
+# Register CanonicalNLP as a pytree where only the array fields are leaves.
+_ARRAY_FIELDS = tuple(
+    f for f in CanonicalNLP._fields
+    if f not in ("struct", "f", "g"))
+
+
+def _cnlp_flatten(p: CanonicalNLP):
+    children = tuple(getattr(p, name) for name in _ARRAY_FIELDS)
+    aux = (p.struct, p.f, p.g)
+    return children, aux
+
+
+def _cnlp_unflatten(aux, children):
+    struct, f, g = aux
+    kwargs = dict(zip(_ARRAY_FIELDS, children))
+    return CanonicalNLP(struct=struct, f=f, g=g, **kwargs)
+
+
+jax.tree_util.register_pytree_node(CanonicalNLP, _cnlp_flatten, _cnlp_unflatten)
+
+
+def canonicalize(nlp: NLP, options: Optional[Options] = None,
+                 dtype=None) -> CanonicalNLP:
+    """Build the canonical internal form.  Static analysis in numpy (trace-free).
+
+    Mirrors TNLPAdapter::GetSpaces (IpTNLPAdapter.cpp:313): split constraints
+    into equalities/inequalities, apply the fixed-variable treatment, and relax
+    bounds by ``bound_relax_factor * max(1, |bound|)`` (IpOrigIpoptNLP.cpp:54).
+    """
+    opts = options or Options()
+    if dtype is None:
+        dtype = jnp.float64 if opts.dtype == "float64" else jnp.float32
+
+    x0 = np.asarray(nlp.x0, dtype=np.float64)
+    n_full = x0.shape[0]
+
+    def _fill(v, default, size):
+        if v is None:
+            return np.full((size,), default, dtype=np.float64)
+        return np.broadcast_to(np.asarray(v, dtype=np.float64), (size,)).copy()
+
+    x_L = _fill(nlp.x_L, -np.inf, n_full)
+    x_U = _fill(nlp.x_U, np.inf, n_full)
+
+    if nlp.g is not None:
+        m = int(jax.eval_shape(nlp.g, jax.ShapeDtypeStruct((n_full,), dtype)).shape[0])
+        g_L = _fill(nlp.g_L, -np.inf, m)
+        g_U = _fill(nlp.g_U, np.inf, m)
+    else:
+        m = 0
+        g_L = np.zeros((0,))
+        g_U = np.zeros((0,))
+
+    eq_mask = (g_L == g_U)
+    eq_idx = np.nonzero(eq_mask)[0].astype(np.int32)
+    ineq_idx = np.nonzero(~eq_mask)[0].astype(np.int32)
+    me, mi = len(eq_idx), len(ineq_idx)
+
+    # Fixed variable treatment (IpTNLPAdapter.cpp:463-631).
+    fixed_mask = (x_L == x_U)
+    treatment = opts.fixed_variable_treatment
+    if treatment in ("make_parameter", "make_parameter_nodual") and fixed_mask.any():
+        free_idx = np.nonzero(~fixed_mask)[0].astype(np.int32)
+        fixed_idx = np.nonzero(fixed_mask)[0].astype(np.int32)
+    else:
+        # relax_bounds: handled below by the generic relaxation (which keeps
+        # x_L==x_U variables with an epsilon interval); make_constraint is a
+        # future extension (adds equality rows).
+        free_idx = np.arange(n_full, dtype=np.int32)
+        fixed_idx = np.zeros((0,), dtype=np.int32)
+        if treatment == "relax_bounds" and fixed_mask.any():
+            rf = max(opts.bound_relax_factor, 1e-10)
+            adj = rf * np.maximum(1.0, np.abs(x_L))
+            x_L = np.where(fixed_mask, x_L - adj, x_L)
+            x_U = np.where(fixed_mask, x_U + adj, x_U)
+    n = len(free_idx)
+
+    struct = CanonicalStructure(
+        n_full=n_full, n=n, m=m, me=me, mi=mi, eq_idx=eq_idx,
+        ineq_idx=ineq_idx, free_idx=free_idx, fixed_idx=fixed_idx,
+        fixed_treatment=treatment)
+
+    x_fixed = np.where(fixed_mask, x_L, 0.0) if len(fixed_idx) else np.zeros(n_full)
+
+    # Reduce bound arrays to free space.
+    x_L_f = x_L[free_idx]
+    x_U_f = x_U[free_idx]
+    d_L = g_L[ineq_idx] if mi else np.zeros((0,))
+    d_U = g_U[ineq_idx] if mi else np.zeros((0,))
+    c_rhs = g_U[eq_idx] if me else np.zeros((0,))
+
+    # Bound relaxation (IpOrigIpoptNLP.cpp:54-357): move each finite bound out
+    # by bound_relax_factor * max(1, |bound|).
+    rf = opts.bound_relax_factor
+    x_L_orig, x_U_orig = x_L_f.copy(), x_U_f.copy()
+    if rf > 0:
+        x_L_r = np.where(np.isfinite(x_L_f), x_L_f - rf * np.maximum(1, np.abs(x_L_f)), x_L_f)
+        x_U_r = np.where(np.isfinite(x_U_f), x_U_f + rf * np.maximum(1, np.abs(x_U_f)), x_U_f)
+        d_L_r = np.where(np.isfinite(d_L), d_L - rf * np.maximum(1, np.abs(d_L)), d_L)
+        d_U_r = np.where(np.isfinite(d_U), d_U + rf * np.maximum(1, np.abs(d_U)), d_U)
+    else:
+        x_L_r, x_U_r, d_L_r, d_U_r = x_L_f, x_U_f, d_L, d_U
+
+    has_xL = np.isfinite(x_L_r)
+    has_xU = np.isfinite(x_U_r)
+    has_dL = np.isfinite(d_L_r)
+    has_dU = np.isfinite(d_U_r)
+
+    def arr(v):
+        return jnp.asarray(v, dtype)
+
+    return CanonicalNLP(
+        struct=struct, f=nlp.f, g=nlp.g,
+        x_L=arr(np.where(has_xL, x_L_r, 0.0)),
+        x_U=arr(np.where(has_xU, x_U_r, 0.0)),
+        d_L=arr(np.where(has_dL, d_L_r, 0.0)),
+        d_U=arr(np.where(has_dU, d_U_r, 0.0)),
+        has_xL=jnp.asarray(has_xL), has_xU=jnp.asarray(has_xU),
+        has_dL=jnp.asarray(has_dL), has_dU=jnp.asarray(has_dU),
+        c_rhs=arr(c_rhs), x_fixed=arr(x_fixed), x0=arr(x0[free_idx]),
+        x_L_orig=arr(np.where(np.isfinite(x_L_orig), x_L_orig, 0.0)),
+        x_U_orig=arr(np.where(np.isfinite(x_U_orig), x_U_orig, 0.0)),
+        obj_scale=arr(1.0), c_scale=arr(np.ones(me)), d_scale=arr(np.ones(mi)),
+    )

@@ -1,0 +1,21 @@
+"""Test configuration: run everything on CPU with x64 and a virtual 8-device mesh.
+
+The ambient environment pins JAX_PLATFORMS=axon (single tunneled TPU chip) and a
+sitecustomize pre-imports jax, so env vars alone are ineffective here; we
+override through jax.config before any backend is initialized.  Multi-chip
+sharding is validated on a virtual 8-device CPU mesh
+(xla_force_host_platform_device_count) since only one real chip exists.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
