@@ -1,0 +1,330 @@
+"""The main interior-point driver: IpoptAlgorithm::Optimize equivalent.
+
+Reference parity (``src/Algorithm/IpIpoptAlg.cpp:292-417``):
+
+    InitializeIterates -> CheckConvergence -> loop {
+        UpdateHessian; OutputIteration; UpdateBarrierParameter;
+        ComputeSearchDirection; ComputeAcceptableTrialPoint;
+        AcceptTrialPoint (kappa_sigma multiplier clipping, :260);
+        CheckConvergence }
+
+TPU-native design: the whole loop is one ``lax.while_loop`` over an ``IPMState``
+carry; every strategy (mu rule, acceptor, perturbation schedule) is a pure
+function; fallbacks are status flags in the carry instead of C++ exceptions.
+The same ``ipm_step`` is reused by the batched (vmap) driver.
+
+Iteration logging uses ``jax.debug.callback`` so the classic Ipopt iteration
+line (``IpOrigIterationOutput.cpp:81``) prints even from inside jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Iterate, SolverReturn
+from ..problem import NLP, CanonicalNLP, canonicalize
+from ..options import Options
+from .. import kkt
+from ..kkt import Evals, evaluate, kkt_residuals, optimality_error, slacks
+from .step import compute_search_direction, StepResult
+from .linesearch import (FilterState, filter_init, line_search,
+                         LineSearchResult, filter_reset)
+from .mu import MuState, mu_init_state, monotone_mu_update_components
+from .init import default_initialize, warm_start_initialize
+from .convergence import check_convergence
+
+
+class IPMState(NamedTuple):
+    it: Iterate
+    mu: jnp.ndarray
+    tau: jnp.ndarray
+    iter_count: jnp.ndarray
+    delta_w_last: jnp.ndarray
+    fs: FilterState
+    theta_min: jnp.ndarray
+    theta_max: jnp.ndarray
+    status: jnp.ndarray           # int32 SolverReturn; CONTINUE while running
+    acceptable_count: jnp.ndarray
+    # diagnostics of the last iteration (for logging / statistics)
+    last_alpha_pr: jnp.ndarray
+    last_alpha_du: jnp.ndarray
+    last_ls_count: jnp.ndarray
+    last_delta_x: jnp.ndarray
+    last_step_norm: jnp.ndarray
+    restoration_count: jnp.ndarray
+
+
+class SolveResult(NamedTuple):
+    """SolveStatistics equivalent (src/Interfaces/IpSolveStatistics.hpp:53)."""
+
+    x: Any                 # solution in the user's full variable space
+    obj: Any               # unscaled objective
+    status: Any            # SolverReturn int
+    iter_count: Any
+    mu: Any
+    g: Any                 # constraint values in user order (m,)
+    y: Any                 # constraint multipliers in user order
+    z_L: Any               # bound multipliers (full space)
+    z_U: Any
+    dual_inf: Any
+    primal_inf: Any
+    compl_inf: Any
+    E_scaled: Any
+    iterate: Any           # final internal Iterate (for warm starts)
+
+
+def _compl_max_fn(nlp: CanonicalNLP, it: Iterate, s_c):
+    """Returns f(mu) = max_i |slack_i*mult_i - mu| / s_c as a jnp closure."""
+    sl_xL, sl_xU, sl_sL, sl_sU = slacks(nlp, it)
+    prods = jnp.concatenate([
+        jnp.where(nlp.has_xL, sl_xL * it.z_L, jnp.nan),
+        jnp.where(nlp.has_xU, sl_xU * it.z_U, jnp.nan),
+        jnp.where(nlp.has_dL, sl_sL * it.v_L, jnp.nan),
+        jnp.where(nlp.has_dU, sl_sU * it.v_U, jnp.nan)])
+    has_any = jnp.any(jnp.logical_not(jnp.isnan(prods)))
+
+    def f(mu):
+        vals = jnp.where(jnp.isnan(prods), 0.0, jnp.abs(prods - mu))
+        return jnp.where(has_any, jnp.max(vals, initial=0.0), 0.0) / s_c
+
+    return f
+
+
+def _scaling_s(nlp: CanonicalNLP, it: Iterate, s_max):
+    """(s_d, s_c) of ComputeOptimalityErrorScaling."""
+    n_mults_c = (jnp.sum(nlp.has_xL) + jnp.sum(nlp.has_xU)
+                 + jnp.sum(nlp.has_dL) + jnp.sum(nlp.has_dU))
+    sum_z = (jnp.sum(jnp.abs(jnp.where(nlp.has_xL, it.z_L, 0.0)))
+             + jnp.sum(jnp.abs(jnp.where(nlp.has_xU, it.z_U, 0.0)))
+             + jnp.sum(jnp.abs(jnp.where(nlp.has_dL, it.v_L, 0.0)))
+             + jnp.sum(jnp.abs(jnp.where(nlp.has_dU, it.v_U, 0.0))))
+    sum_y = jnp.sum(jnp.abs(it.y_c)) + jnp.sum(jnp.abs(it.y_d))
+    n_mults_d = n_mults_c + it.y_c.shape[0] + it.y_d.shape[0]
+    s_c = jnp.where(n_mults_c > 0,
+                    jnp.maximum(s_max, sum_z / jnp.maximum(n_mults_c, 1)) / s_max,
+                    1.0)
+    s_d = jnp.where(n_mults_d > 0,
+                    jnp.maximum(s_max, (sum_z + sum_y) / jnp.maximum(n_mults_d, 1)) / s_max,
+                    1.0)
+    return s_d, s_c
+
+
+def _kappa_sigma_clip(nlp: CanonicalNLP, it: Iterate, mu, kappa_sigma):
+    """AcceptTrialPoint bound-multiplier correction (IpIpoptAlg.cpp:260):
+    z in [mu/(kappa_sigma*slack), kappa_sigma*mu/slack]."""
+    sl_xL, sl_xU, sl_sL, sl_sU = slacks(nlp, it)
+
+    def clip(z, sl, has):
+        lo = mu / (kappa_sigma * sl)
+        hi = kappa_sigma * mu / sl
+        return jnp.where(has, jnp.clip(z, lo, hi), 0.0)
+
+    return it._replace(
+        z_L=clip(it.z_L, sl_xL, nlp.has_xL),
+        z_U=clip(it.z_U, sl_xU, nlp.has_xU),
+        v_L=clip(it.v_L, sl_sL, nlp.has_dL),
+        v_U=clip(it.v_U, sl_sU, nlp.has_dU))
+
+
+def _print_iter(iter_count, f, inf_pr, inf_du, mu, dnorm, delta_x, alpha_du,
+                alpha_pr, ls_count):
+    """The classic log line (IpOrigIterationOutput.cpp:81)."""
+    lg_mu = jnp.log10(jnp.maximum(mu, 1e-99))
+    lg_rg = jnp.where(delta_x > 0, jnp.log10(jnp.maximum(delta_x, 1e-99)), jnp.nan)
+
+    def cb(i, f, pr, du, lgmu, dn, rg, adu, apr, ls):
+        rg_s = f"{float(rg):5.1f}" if not jnp.isnan(rg) else "  - "
+        print(f"{int(i):4d} {float(f):16.7e} {float(pr):8.2e} {float(du):8.2e}"
+              f" {float(lgmu):5.1f} {float(dn):8.2e} {rg_s} {float(adu):8.2e}"
+              f" {float(apr):8.2e} {int(ls):3d}")
+
+    jax.debug.callback(cb, iter_count, f, inf_pr, inf_du, lg_mu, dnorm, lg_rg,
+                       alpha_du, alpha_pr, ls_count, ordered=True)
+
+
+def ipm_step(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
+    """One outer IPM iteration (the body of IpIpoptAlg.cpp:347-417)."""
+    it = st.it
+    ev = evaluate(nlp, it.x)
+
+    # --- UpdateBarrierParameter (monotone Fiacco-McCormick) ---------------
+    s_d, s_c = _scaling_s(nlp, it, opts.s_max)
+    res0 = kkt_residuals(nlp, it, ev, 0.0)
+    dual_inf = jnp.maximum(
+        jnp.max(jnp.abs(res0.grad_lag_x), initial=0.0),
+        jnp.max(jnp.abs(res0.grad_lag_s), initial=0.0))
+    primal_inf = jnp.maximum(
+        jnp.max(jnp.abs(res0.c), initial=0.0),
+        jnp.max(jnp.abs(res0.d_minus_s), initial=0.0))
+    compl_fn = _compl_max_fn(nlp, it, s_c)
+    ms = monotone_mu_update_components(
+        opts, MuState(st.mu, st.tau), dual_inf / s_d, primal_inf, compl_fn)
+    mu, tau = ms.mu, ms.tau
+
+    # --- UpdateHessian + ComputeSearchDirection ---------------------------
+    W = nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
+    sr = compute_search_direction(nlp, opts, it, ev, W, mu, st.delta_w_last)
+
+    # --- Line search ------------------------------------------------------
+    ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
+                     st.theta_min, st.theta_max)
+
+    # --- AcceptTrialPoint -------------------------------------------------
+    accepted = jnp.logical_and(ls.accepted, jnp.logical_not(sr.failed))
+    new_it = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), it, ls.trial)
+    new_it = _kappa_sigma_clip(nlp, new_it, mu, opts.kappa_sigma)
+
+    # Failure handling (restoration phase lands here in milestone 2; for now
+    # flag the corresponding terminal statuses).
+    status = st.status
+    status = jnp.where(jnp.logical_and(jnp.logical_not(accepted), sr.failed),
+                       int(SolverReturn.ERROR_IN_STEP_COMPUTATION), status)
+    status = jnp.where(jnp.logical_and(jnp.logical_not(accepted),
+                                       jnp.logical_not(sr.failed)),
+                       int(SolverReturn.RESTORATION_FAILURE), status)
+
+    step_norm = jnp.maximum(jnp.max(jnp.abs(sr.step.x), initial=0.0),
+                            jnp.max(jnp.abs(sr.step.s), initial=0.0))
+
+    if opts.print_level >= 5:
+        _print_iter(st.iter_count, ev.f, primal_inf, dual_inf, mu, step_norm,
+                    sr.delta_x, ls.alpha_dual, ls.alpha_primal, ls.n_backtracks)
+
+    # --- CheckConvergence at the NEW point --------------------------------
+    ev_new = evaluate(nlp, new_it.x)
+    res_new = kkt_residuals(nlp, new_it, ev_new, 0.0)
+    E, d_inf, p_inf, c_inf = optimality_error(nlp, new_it, res_new, opts.s_max)
+    conv = check_convergence(opts, st.iter_count + 1, st.acceptable_count,
+                             E, d_inf, p_inf, c_inf,
+                             jnp.max(jnp.abs(new_it.x), initial=0.0))
+    status = jnp.where(status == int(SolverReturn.CONTINUE), conv.status, status)
+
+    return IPMState(
+        it=new_it, mu=mu, tau=tau, iter_count=st.iter_count + 1,
+        delta_w_last=sr.delta_w_last, fs=ls.filter,
+        theta_min=st.theta_min, theta_max=st.theta_max, status=status,
+        acceptable_count=conv.acceptable_count,
+        last_alpha_pr=ls.alpha_primal, last_alpha_du=ls.alpha_dual,
+        last_ls_count=ls.n_backtracks, last_delta_x=sr.delta_x,
+        last_step_norm=step_norm, restoration_count=st.restoration_count)
+
+
+def initial_state(nlp: CanonicalNLP, opts: Options,
+                  it0: Optional[Iterate] = None) -> IPMState:
+    dtype = nlp.x0.dtype
+    if it0 is None:
+        it = default_initialize(nlp, opts)
+    elif opts.warm_start_init_point:
+        it = warm_start_initialize(nlp, opts, it0)
+    else:
+        it = it0
+    ev = evaluate(nlp, it.x)
+    theta0 = jnp.sum(jnp.abs(ev.c)) + jnp.sum(jnp.abs(ev.d - it.s))
+    theta_min = opts.theta_min_fact * jnp.maximum(1.0, theta0)
+    theta_max = opts.theta_max_fact * jnp.maximum(1.0, theta0)
+    ms = mu_init_state(opts, dtype)
+    z = jnp.zeros((), dtype)
+    return IPMState(
+        it=it, mu=ms.mu, tau=ms.tau,
+        iter_count=jnp.zeros((), jnp.int32),
+        delta_w_last=z, fs=filter_init(opts.max_filter_size, dtype),
+        theta_min=theta_min, theta_max=theta_max,
+        status=jnp.full((), int(SolverReturn.CONTINUE), jnp.int32),
+        acceptable_count=jnp.zeros((), jnp.int32),
+        last_alpha_pr=z, last_alpha_du=z,
+        last_ls_count=jnp.zeros((), jnp.int32), last_delta_x=z,
+        last_step_norm=z, restoration_count=jnp.zeros((), jnp.int32))
+
+
+def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
+    """The outer while_loop.  Also performs the initial convergence check
+    (IpIpoptAlg.cpp:343)."""
+    ev = evaluate(nlp, st.it.x)
+    res = kkt_residuals(nlp, st.it, ev, 0.0)
+    E, d_inf, p_inf, c_inf = optimality_error(nlp, st.it, res, opts.s_max)
+    conv = check_convergence(opts, st.iter_count, st.acceptable_count,
+                             E, d_inf, p_inf, c_inf,
+                             jnp.max(jnp.abs(st.it.x), initial=0.0))
+    st = st._replace(status=jnp.where(
+        jnp.logical_and(st.status == int(SolverReturn.CONTINUE),
+                        conv.status == int(SolverReturn.SUCCESS)),
+        conv.status, st.status))
+
+    def cond(s: IPMState):
+        return s.status == int(SolverReturn.CONTINUE)
+
+    def body(s: IPMState):
+        return ipm_step(nlp, opts, s)
+
+    return lax.while_loop(cond, body, st)
+
+
+def finalize(nlp: CanonicalNLP, opts: Options, st: IPMState) -> SolveResult:
+    """Build the SolveResult: map back to user space, unscale, final stats."""
+    it = st.it
+    x_user = nlp.x_full(it.x)
+    if opts.honor_original_bounds:
+        xr = jnp.where(nlp.has_xL, jnp.maximum(it.x, nlp.x_L_orig), it.x)
+        xr = jnp.where(nlp.has_xU, jnp.minimum(xr, nlp.x_U_orig), xr)
+        x_user = nlp.x_full(xr)
+    ev = evaluate(nlp, it.x)
+    res = kkt_residuals(nlp, it, ev, 0.0)
+    E, d_inf, p_inf, c_inf = optimality_error(nlp, it, res, opts.s_max)
+    # user-order constraint values and multipliers
+    s = nlp.struct
+    m = s.m
+    g = jnp.zeros((m,), it.x.dtype)
+    y = jnp.zeros((m,), it.x.dtype)
+    if s.me:
+        g = g.at[jnp.asarray(s.eq_idx)].set(ev.c / nlp.c_scale + nlp.c_rhs)
+        y = y.at[jnp.asarray(s.eq_idx)].set(it.y_c * nlp.c_scale / nlp.obj_scale)
+    if s.mi:
+        g = g.at[jnp.asarray(s.ineq_idx)].set(ev.d / nlp.d_scale)
+        y = y.at[jnp.asarray(s.ineq_idx)].set(it.y_d * nlp.d_scale / nlp.obj_scale)
+    zl_full = jnp.zeros((s.n_full,), it.x.dtype).at[jnp.asarray(s.free_idx)].set(
+        it.z_L / nlp.obj_scale)
+    zu_full = jnp.zeros((s.n_full,), it.x.dtype).at[jnp.asarray(s.free_idx)].set(
+        it.z_U / nlp.obj_scale)
+    return SolveResult(
+        x=x_user, obj=ev.f / nlp.obj_scale, status=st.status,
+        iter_count=st.iter_count, mu=st.mu, g=g, y=y, z_L=zl_full, z_U=zu_full,
+        dual_inf=d_inf, primal_inf=p_inf, compl_inf=c_inf, E_scaled=E,
+        iterate=it)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _solve_canonical(nlp: CanonicalNLP, opts: Options,
+                     it0: Optional[Iterate] = None) -> SolveResult:
+    st = initial_state(nlp, opts, it0)
+    st = run_ipm(nlp, opts, st)
+    return finalize(nlp, opts, st)
+
+
+def solve(problem, options: Optional[Options] = None, it0=None,
+          **option_kwargs) -> SolveResult:
+    """Top-level entry (IpoptApplication::OptimizeTNLP equivalent).
+
+    ``problem`` may be an ``NLP`` (user spec) or an already-canonicalized
+    ``CanonicalNLP``.  Extra keyword arguments are option overrides by their
+    Ipopt names, e.g. ``solve(nlp, tol=1e-6, mu_strategy="monotone")``.
+    """
+    opts = options or Options()
+    if option_kwargs:
+        opts = opts.replace(**option_kwargs)
+    if isinstance(problem, NLP):
+        cnlp = canonicalize(problem, opts)
+    else:
+        cnlp = problem
+    if opts.print_level >= 5:
+        _print_header()
+    return _solve_canonical(cnlp, opts, it0)
+
+
+def _print_header():
+    print("iter    objective        inf_pr   inf_du   lg(mu)  ||d||   lg(rg)"
+          " alpha_du alpha_pr  ls")

@@ -103,6 +103,8 @@ class Options:
     mu_target: float = _opt(0.0, "Termination", "Target barrier parameter.", 0.0)
 
     # ---- NLP (IpOrigIpoptNLP.cpp, IpTNLPAdapter.cpp) ----
+    nlp_lower_bound_inf: float = _opt(-1e19, "NLP", "Bounds <= this count as -inf.")
+    nlp_upper_bound_inf: float = _opt(1e19, "NLP", "Bounds >= this count as +inf.")
     bound_relax_factor: float = _opt(1e-8, "NLP", "Relative bound relaxation at setup.", 0.0)
     honor_original_bounds: bool = _opt(False, "NLP", "Project final x onto original bounds.")
     check_derivatives_for_naninf: bool = _opt(False, "NLP", "NaN/Inf guards on derivatives.")

@@ -53,8 +53,13 @@ class NLP:
     name: str = "nlp"
 
 
-class CanonicalStructure(NamedTuple):
-    """Static (python/numpy) structure computed once at setup."""
+@dataclasses.dataclass(frozen=True, eq=False)
+class CanonicalStructure:
+    """Static (python/numpy) structure computed once at setup.
+
+    Used as jit-static aux data of the CanonicalNLP pytree, so it must be
+    hashable: equality/hash go through the index arrays' bytes.
+    """
 
     n_full: int          # user-visible number of variables
     n: int               # free variables after fixed-variable treatment
@@ -66,6 +71,19 @@ class CanonicalStructure(NamedTuple):
     free_idx: np.ndarray  # indices into x_full of free variables, (n,)
     fixed_idx: np.ndarray  # indices into x_full of fixed variables
     fixed_treatment: str
+
+    def _key(self):
+        return (self.n_full, self.n, self.m, self.me, self.mi,
+                self.eq_idx.tobytes(), self.ineq_idx.tobytes(),
+                self.free_idx.tobytes(), self.fixed_idx.tobytes(),
+                self.fixed_treatment)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return (isinstance(other, CanonicalStructure)
+                and self._key() == other._key())
 
 
 class CanonicalNLP(NamedTuple):
@@ -222,13 +240,22 @@ def canonicalize(nlp: NLP, options: Optional[Options] = None,
             return np.full((size,), default, dtype=np.float64)
         return np.broadcast_to(np.asarray(v, dtype=np.float64), (size,)).copy()
 
+    def _apply_inf(lo, hi):
+        # Bounds beyond nlp_lower/upper_bound_inf count as infinite
+        # (TNLPAdapter behavior; hs071 uses 2e19 for "no upper bound").
+        lo = np.where(lo <= opts.nlp_lower_bound_inf, -np.inf, lo)
+        hi = np.where(hi >= opts.nlp_upper_bound_inf, np.inf, hi)
+        return lo, hi
+
     x_L = _fill(nlp.x_L, -np.inf, n_full)
     x_U = _fill(nlp.x_U, np.inf, n_full)
+    x_L, x_U = _apply_inf(x_L, x_U)
 
     if nlp.g is not None:
         m = int(jax.eval_shape(nlp.g, jax.ShapeDtypeStruct((n_full,), dtype)).shape[0])
         g_L = _fill(nlp.g_L, -np.inf, m)
         g_U = _fill(nlp.g_U, np.inf, m)
+        g_L, g_U = _apply_inf(g_L, g_U)
     else:
         m = 0
         g_L = np.zeros((0,))
