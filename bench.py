@@ -1,0 +1,85 @@
+"""Benchmark: batched HS071-family NLP throughput on the attached device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: NLPs solved per second for a batch of HS071-family instances (vmapped
+lockstep IPM, float32 + tol 1e-6 on TPU).  vs_baseline is the speedup against
+solving instances one-at-a-time on the same device (the "many sequential Ipopt
+processes" pattern the batch mode replaces; reference CPU Ipopt+MA57 numbers
+land in a later round once the reference is built locally).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from ipopt_tpu.options import Options
+    from ipopt_tpu.batch import stack_problems, _solve_batched_jit
+    from ipopt_tpu.problem import NLP
+
+    on_tpu = jax.default_backend() != "cpu"
+    dtype_str = "float32" if on_tpu else "float64"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    tol = 1e-6 if dtype_str == "float32" else 1e-8
+
+    def family(delta):
+        return NLP(
+            f=lambda x: x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2],
+            g=lambda x: jnp.array([
+                x[0] * x[1] * x[2] * x[3],
+                x[0] ** 2 + x[1] ** 2 + x[2] ** 2 + x[3] ** 2]),
+            x_L=1.0, x_U=5.0,
+            g_L=jnp.array([25.0, 40.0 + delta]),
+            g_U=jnp.array([2e19, 40.0 + delta]),
+            x0=jnp.array([1.0, 5.0, 5.0, 1.0]))
+
+    opts = Options(dtype=dtype_str, tol=tol, print_level=0)
+    B = 512
+    nlp_b = stack_problems([family(0.005 * i) for i in range(B)], opts)
+
+    # --- batched throughput ---
+    res = _solve_batched_jit(nlp_b, opts)  # compile + run
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = _solve_batched_jit(nlp_b, opts)
+    jax.block_until_ready(res.x)
+    dt_batched = time.perf_counter() - t0
+    n_ok = int(np.sum(np.asarray(res.status) == 0))
+    nlps_per_sec = B / dt_batched
+
+    # --- sequential baseline (same device, one at a time) ---
+    nlp_1 = jax.tree.map(lambda x: x[:1], nlp_b)
+    r1 = _solve_batched_jit(nlp_1, opts)
+    jax.block_until_ready(r1.x)
+    reps = 8
+    t0 = time.perf_counter()
+    for i in range(reps):
+        r1 = _solve_batched_jit(nlp_1, opts)
+        jax.block_until_ready(r1.x)
+    dt_seq = (time.perf_counter() - t0) / reps
+    seq_per_sec = 1.0 / dt_seq
+
+    out = {
+        "metric": "batched_hs071_nlps_per_sec",
+        "value": round(nlps_per_sec, 2),
+        "unit": "NLPs/s",
+        "vs_baseline": round(nlps_per_sec / seq_per_sec, 2),
+        "detail": {
+            "batch": B, "converged": n_ok, "dtype": dtype_str,
+            "backend": jax.default_backend(),
+            "batched_wall_s": round(dt_batched, 4),
+            "sequential_nlps_per_sec": round(seq_per_sec, 2),
+            "iters_med": int(np.median(np.asarray(res.iter_count))),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

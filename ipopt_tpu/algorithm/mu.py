@@ -17,10 +17,13 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..options import Options
+from ..types import Iterate
+from ..kkt import slacks, fraction_to_boundary
 
 
 class MuState(NamedTuple):
@@ -87,3 +90,174 @@ def monotone_mu_update_components(opts: Options, ms: MuState,
 
     mu, tau, _ = lax.while_loop(cond, body, (ms.mu, ms.tau, jnp.zeros((), jnp.int32)))
     return MuState(mu=mu, tau=tau)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive mu: oracles (IpLoqoMuOracle, IpProbingMuOracle,
+# IpQualityFunctionMuOracle) and the free/monotone globalization
+# (IpAdaptiveMuUpdate).
+# ---------------------------------------------------------------------------
+
+def avg_complementarity(nlp, it: Iterate):
+    """Average slack*multiplier product over all finite bounds (curr_avrg_compl,
+    IpIpoptCalculatedQuantities.cpp:3611-3660)."""
+    sl_xL, sl_xU, sl_sL, sl_sU = slacks(nlp, it)
+    total = (jnp.sum(jnp.where(nlp.has_xL, sl_xL * it.z_L, 0.0))
+             + jnp.sum(jnp.where(nlp.has_xU, sl_xU * it.z_U, 0.0))
+             + jnp.sum(jnp.where(nlp.has_dL, sl_sL * it.v_L, 0.0))
+             + jnp.sum(jnp.where(nlp.has_dU, sl_sU * it.v_U, 0.0)))
+    ncomps = (jnp.sum(nlp.has_xL) + jnp.sum(nlp.has_xU)
+              + jnp.sum(nlp.has_dL) + jnp.sum(nlp.has_dU))
+    return jnp.where(ncomps > 0, total / jnp.maximum(ncomps, 1), 0.0), ncomps
+
+
+def min_complementarity(nlp, it: Iterate):
+    sl_xL, sl_xU, sl_sL, sl_sU = slacks(nlp, it)
+    inf = jnp.asarray(jnp.inf, it.x.dtype)
+    m = jnp.minimum(
+        jnp.minimum(jnp.min(jnp.where(nlp.has_xL, sl_xL * it.z_L, inf), initial=jnp.inf),
+                    jnp.min(jnp.where(nlp.has_xU, sl_xU * it.z_U, inf), initial=jnp.inf)),
+        jnp.minimum(jnp.min(jnp.where(nlp.has_dL, sl_sL * it.v_L, inf), initial=jnp.inf),
+                    jnp.min(jnp.where(nlp.has_dU, sl_sU * it.v_U, inf), initial=jnp.inf)))
+    return m
+
+
+def loqo_mu(nlp, it: Iterate, opts: Options):
+    """LOQO centrality rule (IpLoqoMuOracle.cpp): sigma = 0.1 * min(0.05 *
+    (1 - xi)/xi, 2)^3 with xi = min(compl)/avg(compl); mu = sigma * avg."""
+    avg, ncomps = avg_complementarity(nlp, it)
+    mn = min_complementarity(nlp, it)
+    xi = jnp.where(avg > 0, mn / jnp.maximum(avg, 1e-300), 1.0)
+    xi = jnp.clip(xi, 1e-12, 1.0)
+    sigma = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / xi, 2.0) ** 3
+    return jnp.where(ncomps > 0, sigma * avg, 0.0)
+
+
+def probing_mu(nlp, it: Iterate, opts: Options, step_aff: Iterate):
+    """Mehrotra probing (IpProbingMuOracle.cpp): take the affine-scaling step
+    to the boundary, measure the predicted average complementarity, and set
+    sigma = (mu_aff / mu_avg)^3."""
+    avg, ncomps = avg_complementarity(nlp, it)
+    tau_zero = jnp.asarray(1.0, it.x.dtype)  # probing uses tau = 1 (to boundary)
+    a_pr, a_du = fraction_to_boundary(nlp, it, step_aff, tau_zero)
+    sl_xL, sl_xU, sl_sL, sl_sU = slacks(nlp, it)
+    nxL = jnp.where(nlp.has_xL, (sl_xL + a_pr * step_aff.x) * (it.z_L + a_du * step_aff.z_L), 0.0)
+    nxU = jnp.where(nlp.has_xU, (sl_xU - a_pr * step_aff.x) * (it.z_U + a_du * step_aff.z_U), 0.0)
+    nsL = jnp.where(nlp.has_dL, (sl_sL + a_pr * step_aff.s) * (it.v_L + a_du * step_aff.v_L), 0.0)
+    nsU = jnp.where(nlp.has_dU, (sl_sU - a_pr * step_aff.s) * (it.v_U + a_du * step_aff.v_U), 0.0)
+    mu_aff = (jnp.sum(nxL) + jnp.sum(nxU) + jnp.sum(nsL) + jnp.sum(nsU)) \
+        / jnp.maximum(ncomps, 1)
+    sigma = jnp.clip((mu_aff / jnp.maximum(avg, 1e-300)) ** 3,
+                     opts.sigma_min, opts.sigma_max)
+    return jnp.where(ncomps > 0, sigma * avg, 0.0)
+
+
+def quality_function_mu(nlp, it: Iterate, opts: Options, step_aff: Iterate,
+                        step_cent: Iterate, dual_inf, primal_inf, tau):
+    """Quality-function oracle (IpQualityFunctionMuOracle.cpp): golden-section
+    search over sigma minimizing the (2-norm-squared) linear model of the KKT
+    error after the combined step  d(sigma) = d_aff + sigma*mu_avg * d_cent.
+
+    dual/primal parts use the linear model (1-alpha)*current norm; the
+    complementarity part is evaluated from the predicted products.
+    """
+    avg, ncomps = avg_complementarity(nlp, it)
+    dtype = it.x.dtype
+
+    def qf(sigma):
+        mu_c = sigma * avg
+        step = jax.tree.map(lambda a, c: a + mu_c * c, step_aff, step_cent)
+        a_pr, a_du = fraction_to_boundary(nlp, it, step, tau)
+        sl_xL, sl_xU, sl_sL, sl_sU = slacks(nlp, it)
+        nxL = jnp.where(nlp.has_xL, (sl_xL + a_pr * step.x) * (it.z_L + a_du * step.z_L), 0.0)
+        nxU = jnp.where(nlp.has_xU, (sl_xU - a_pr * step.x) * (it.z_U + a_du * step.z_U), 0.0)
+        nsL = jnp.where(nlp.has_dL, (sl_sL + a_pr * step.s) * (it.v_L + a_du * step.v_L), 0.0)
+        nsU = jnp.where(nlp.has_dU, (sl_sU - a_pr * step.s) * (it.v_U + a_du * step.v_U), 0.0)
+        compl_sq = (jnp.sum(nxL ** 2) + jnp.sum(nxU ** 2)
+                    + jnp.sum(nsL ** 2) + jnp.sum(nsU ** 2))
+        du = (1.0 - a_du) * dual_inf
+        pr = (1.0 - a_pr) * primal_inf
+        return (du * du + pr * pr + compl_sq / jnp.maximum(ncomps, 1))
+
+    # Golden-section on log(sigma).
+    lo = jnp.asarray(jnp.log(opts.sigma_min), dtype)
+    hi = jnp.asarray(jnp.log(opts.sigma_max), dtype)
+    gr = 0.5 * (jnp.sqrt(5.0) - 1.0)
+
+    def body(_, carry):
+        lo, hi = carry
+        m1 = hi - gr * (hi - lo)
+        m2 = lo + gr * (hi - lo)
+        f1 = qf(jnp.exp(m1))
+        f2 = qf(jnp.exp(m2))
+        new_lo = jnp.where(f1 < f2, lo, m1)
+        new_hi = jnp.where(f1 < f2, m2, hi)
+        return new_lo, new_hi
+
+    lo, hi = lax.fori_loop(0, opts.quality_function_max_section_steps, body,
+                           (lo, hi))
+    sigma = jnp.exp(0.5 * (lo + hi))
+    return jnp.where(ncomps > 0, sigma * avg, 0.0)
+
+
+class AdaptiveMuState(NamedTuple):
+    """Carry for AdaptiveMuUpdate's free/monotone mode switching
+    (kkt-error globalization)."""
+
+    free_mode: jnp.ndarray        # bool
+    ref_kkt_error: jnp.ndarray    # reference error for progress monitoring
+    no_progress_count: jnp.ndarray
+
+
+def adaptive_mu_init(dtype) -> AdaptiveMuState:
+    return AdaptiveMuState(free_mode=jnp.ones((), bool),
+                           ref_kkt_error=jnp.asarray(jnp.inf, dtype),
+                           no_progress_count=jnp.zeros((), jnp.int32))
+
+
+def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
+                       oracle_mu, dual_s, primal, compl_fn) -> tuple:
+    """One adaptive update (IpAdaptiveMuUpdate.cpp:78-139, kkt-error
+    globalization).  Returns (new AdaptiveMuState, new MuState).
+
+    Free mode: mu straight from the oracle (clipped to [mu_min, mu_max]).
+    Globalization: the scaled KKT error E_0 must shrink by
+    ``adaptive_mu_kkterror_red_fact`` within ``adaptive_mu_kkterror_red_iters``
+    iterations, else fall back to monotone (Fiacco-McCormick) mode; return to
+    free mode once the barrier problem for the monotone mu is solved.
+    """
+    kkt_error = jnp.maximum(jnp.maximum(dual_s, primal), compl_fn(0.0))
+
+    mu_free = jnp.clip(oracle_mu, opts.mu_min, opts.mu_max)
+    tau_free = jnp.maximum(opts.tau_min, 1.0 - mu_free)
+
+    progress = kkt_error <= opts.adaptive_mu_kkterror_red_fact * ams.ref_kkt_error
+    count = jnp.where(progress, 0, ams.no_progress_count + 1)
+    new_ref = jnp.minimum(kkt_error, ams.ref_kkt_error)
+    switch_to_monotone = jnp.logical_and(
+        ams.free_mode, count >= opts.adaptive_mu_kkterror_red_iters)
+
+    # Monotone mode machinery (switch back once sub-problem converged).
+    mono_entry_mu = jnp.minimum(
+        ms.mu, opts.adaptive_mu_monotone_init_factor * compl_fn(0.0) + opts.mu_min)
+    ms_for_mono = MuState(
+        mu=jnp.where(switch_to_monotone, mono_entry_mu, ms.mu),
+        tau=ms.tau)
+    ms_mono = monotone_mu_update_components(opts, ms_for_mono, dual_s, primal,
+                                            compl_fn)
+    err_at_mu = jnp.maximum(jnp.maximum(dual_s, primal), compl_fn(ms.mu))
+    back_to_free = jnp.logical_and(
+        jnp.logical_not(ams.free_mode),
+        err_at_mu <= opts.barrier_tol_factor * ms.mu)
+
+    free_now = jnp.where(switch_to_monotone, False,
+                         jnp.where(back_to_free, True, ams.free_mode))
+
+    mu = jnp.where(free_now, mu_free, ms_mono.mu)
+    tau = jnp.where(free_now, tau_free, ms_mono.tau)
+    new_ams = AdaptiveMuState(
+        free_mode=free_now,
+        ref_kkt_error=jnp.where(switch_to_monotone,
+                                jnp.asarray(jnp.inf, kkt_error.dtype), new_ref),
+        no_progress_count=jnp.where(switch_to_monotone, 0, count))
+    return new_ams, MuState(mu=mu, tau=tau)

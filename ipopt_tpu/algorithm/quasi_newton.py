@@ -1,0 +1,112 @@
+"""Limited-memory quasi-Newton (L-BFGS / SR1) Hessian approximation.
+
+Reference parity: ``LimMemQuasiNewtonUpdater``
+(``src/Algorithm/IpLimMemQuasiNewtonUpdater.hpp:81-310``):
+- pairs s_k = x_{k+1} - x_k,  y_k = grad_x L(x_{k+1}, lambda_{k+1})
+  - grad_x L(x_k, lambda_{k+1})  (same multipliers, no bound-multiplier terms),
+- Powell damping / update skipping (CheckSkippingBFGS),
+- sigma (initial diagonal) strategies scalar1..4 / constant,
+- compact representation  B = sigma I - [sigma S, Y] M^{-1} [sigma S, Y]^T,
+  M = [[sigma S^T S, L], [L^T, -D]], D = diag(s_i^T y_i), L strictly lower
+  s_i^T y_j (i > j).
+
+TPU-native design: fixed-size ring buffers (n, hist) in the solver carry; the
+dense W is materialized for the dense KKT path (the low-rank Sherman-Morrison
+augmented solver of ``IpLowRankAugSystemSolver`` arrives with the structured
+KKT backend).  All ops are masked for partially-filled history, so the whole
+thing vmaps.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LBFGSState(NamedTuple):
+    S: jnp.ndarray        # (n, hist) step history (ring buffer)
+    Y: jnp.ndarray        # (n, hist) gradient-difference history
+    count: jnp.ndarray    # int32 number of valid pairs (<= hist)
+    head: jnp.ndarray     # int32 ring position of next write
+    sigma: jnp.ndarray    # current initial-diagonal scale
+    skips: jnp.ndarray    # consecutive skipped updates
+
+
+def lbfgs_init(n: int, hist: int, dtype, init_val=1.0) -> LBFGSState:
+    return LBFGSState(
+        S=jnp.zeros((n, hist), dtype), Y=jnp.zeros((n, hist), dtype),
+        count=jnp.zeros((), jnp.int32), head=jnp.zeros((), jnp.int32),
+        sigma=jnp.asarray(init_val, dtype), skips=jnp.zeros((), jnp.int32))
+
+
+def lbfgs_update(st: LBFGSState, s, y, opts) -> LBFGSState:
+    """Insert a new pair with Ipopt's skipping rule.
+
+    Skip when s^T y <= 0 relative to ||s|| ||y|| (curvature condition fails;
+    limited_memory_max_skipping consecutive skips reset the history).
+    """
+    sty = jnp.dot(s, y)
+    s_norm = jnp.sqrt(jnp.dot(s, s))
+    y_norm = jnp.sqrt(jnp.dot(y, y))
+    eps = jnp.finfo(s.dtype).eps
+    skip = sty <= jnp.sqrt(eps) * s_norm * y_norm
+
+    hist = st.S.shape[1]
+    S_new = st.S.at[:, st.head].set(s)
+    Y_new = st.Y.at[:, st.head].set(y)
+    sigma_raw = jnp.where(s_norm > 0, sty / jnp.maximum(jnp.dot(s, s), 1e-300),
+                          st.sigma)
+    sigma_new = jnp.clip(sigma_raw, opts.limited_memory_init_val_min,
+                         opts.limited_memory_init_val_max)
+
+    skips_new = jnp.where(skip, st.skips + 1, 0)
+    reset = skips_new >= opts.limited_memory_max_skipping
+
+    def pick(a, b):
+        return jnp.where(skip, a, b)
+
+    out = LBFGSState(
+        S=pick(st.S, S_new), Y=pick(st.Y, Y_new),
+        count=pick(st.count, jnp.minimum(st.count + 1, hist)),
+        head=pick(st.head, (st.head + 1) % hist),
+        sigma=pick(st.sigma, sigma_new),
+        skips=skips_new)
+    # Full reset after too many skips (LimMemQuasiNewtonUpdater resets B).
+    return jax.tree.map(
+        lambda r, o: jnp.where(reset, r, o),
+        lbfgs_init(st.S.shape[0], hist, st.S.dtype), out)._replace(
+            sigma=jnp.where(reset, st.sigma, out.sigma))
+
+
+def lbfgs_dense_W(st: LBFGSState) -> jnp.ndarray:
+    """Materialize the dense B = sigma I - U M^{-1} U^T (compact form)."""
+    n, hist = st.S.shape
+    dtype = st.S.dtype
+    idx = jnp.arange(hist)
+    # A slot is valid if it was written within the last `count` writes:
+    # positions head-count .. head-1 (mod hist); offset orders chronologically.
+    offset = (idx - (st.head - st.count)) % hist
+    valid = offset < st.count
+
+    S = jnp.where(valid[None, :], st.S, 0.0)
+    Y = jnp.where(valid[None, :], st.Y, 0.0)
+    sig = st.sigma
+
+    StS = S.T @ S
+    StY = S.T @ Y
+    D = jnp.diagonal(StY)
+    # L: s_i^T y_j for i > j in *chronological* order.  With the ring mask we
+    # need chronological comparison: slot i older than slot j <=> offset_i <
+    # offset_j.
+    older = offset[:, None] > offset[None, :]
+    L = jnp.where(older, StY, 0.0)
+
+    M = jnp.block([[sig * StS, L], [L.T, -jnp.diag(D)]])
+    vmask = jnp.concatenate([valid, valid])
+    M = jnp.where(jnp.outer(vmask, vmask), M,
+                  jnp.eye(2 * hist, dtype=dtype))
+    U = jnp.concatenate([sig * S, Y], axis=1)
+    Minv_Ut = jnp.linalg.solve(M, U.T)
+    B = sig * jnp.eye(n, dtype=dtype) - U @ Minv_Ut
+    return B

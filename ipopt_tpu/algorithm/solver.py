@@ -34,7 +34,9 @@ from ..kkt import Evals, evaluate, kkt_residuals, optimality_error, slacks
 from .step import compute_search_direction, StepResult
 from .linesearch import (FilterState, filter_init, line_search,
                          LineSearchResult, filter_reset)
-from .mu import MuState, mu_init_state, monotone_mu_update_components
+from .mu import (MuState, mu_init_state, monotone_mu_update_components,
+                 AdaptiveMuState, adaptive_mu_init, adaptive_mu_update,
+                 loqo_mu, probing_mu, quality_function_mu)
 from .init import default_initialize, warm_start_initialize
 from .convergence import check_convergence
 
@@ -57,6 +59,7 @@ class IPMState(NamedTuple):
     last_delta_x: jnp.ndarray
     last_step_norm: jnp.ndarray
     restoration_count: jnp.ndarray
+    ams: AdaptiveMuState
 
 
 class SolveResult(NamedTuple):
@@ -148,11 +151,24 @@ def _print_iter(iter_count, f, inf_pr, inf_du, mu, dnorm, delta_x, alpha_du,
 
 
 def ipm_step(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
+    """One IPM iteration without restoration fallback (used inside the
+    restoration phase itself, where a line-search failure is terminal —
+    restoration-of-restoration is a later milestone)."""
+    return _ipm_step_impl(nlp, opts, st, enable_resto=False)
+
+
+def ipm_step_with_resto(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
+    """One outer IPM iteration with the restoration-phase fallback."""
+    return _ipm_step_impl(nlp, opts, st, enable_resto=True)
+
+
+def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
+                   enable_resto: bool) -> IPMState:
     """One outer IPM iteration (the body of IpIpoptAlg.cpp:347-417)."""
     it = st.it
     ev = evaluate(nlp, it.x)
 
-    # --- UpdateBarrierParameter (monotone Fiacco-McCormick) ---------------
+    # --- UpdateBarrierParameter -------------------------------------------
     s_d, s_c = _scaling_s(nlp, it, opts.s_max)
     res0 = kkt_residuals(nlp, it, ev, 0.0)
     dual_inf = jnp.maximum(
@@ -162,13 +178,51 @@ def ipm_step(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
         jnp.max(jnp.abs(res0.c), initial=0.0),
         jnp.max(jnp.abs(res0.d_minus_s), initial=0.0))
     compl_fn = _compl_max_fn(nlp, it, s_c)
-    ms = monotone_mu_update_components(
-        opts, MuState(st.mu, st.tau), dual_inf / s_d, primal_inf, compl_fn)
-    mu, tau = ms.mu, ms.tau
-
-    # --- UpdateHessian + ComputeSearchDirection ---------------------------
     W = nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
-    sr = compute_search_direction(nlp, opts, it, ev, W, mu, st.delta_w_last)
+    ams = st.ams
+
+    if opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm:
+        # Free-mode mu from an oracle each iteration (AdaptiveMuUpdate).
+        # One factorization serves the affine solve, the centering solve, and
+        # the final step: rhs(mu) = rhs(0) + mu * drhs is affine in mu, and so
+        # is the bound-multiplier recovery.
+        from .step import (factorize_kkt, solve_with_refinement,
+                           direction_from_solution)
+        from ..kkt import condensed_rhs as _crhs
+        fr = factorize_kkt(nlp, opts, it, ev, W, st.mu, st.delta_w_last)
+        rhs0 = _crhs(nlp, it, ev, 0.0, opts.kappa_d)
+        drhs = _crhs(nlp, it, ev, 1.0, opts.kappa_d) - rhs0
+        sol_aff, rr_a = solve_with_refinement(fr.K, fr.fac, rhs0, opts)
+        sol_cent, _ = solve_with_refinement(fr.K, fr.fac, drhs, opts)
+        step_aff = direction_from_solution(nlp, it, sol_aff, 0.0, fr.failed)
+        step_at1 = direction_from_solution(nlp, it, sol_aff + sol_cent, 1.0,
+                                           fr.failed)
+        step_cent = jax.tree.map(lambda a, b: b - a, step_aff, step_at1)
+
+        oracle = "probing" if opts.mehrotra_algorithm else opts.mu_oracle
+        if oracle == "loqo":
+            mu_orc = loqo_mu(nlp, it, opts)
+        elif oracle == "probing":
+            mu_orc = probing_mu(nlp, it, opts, step_aff)
+        else:
+            mu_orc = quality_function_mu(nlp, it, opts, step_aff, step_cent,
+                                         dual_inf / s_d, primal_inf, st.tau)
+        ams, ms = adaptive_mu_update(opts, st.ams, MuState(st.mu, st.tau),
+                                     mu_orc, dual_inf / s_d, primal_inf,
+                                     compl_fn)
+        mu, tau = ms.mu, ms.tau
+        step = jax.tree.map(lambda a, c: a + mu * c, step_aff, step_cent)
+        sr = StepResult(step=step, delta_x=fr.delta_x, delta_c=fr.delta_c,
+                        delta_w_last=fr.delta_w_last, failed=fr.failed,
+                        num_trials=fr.num_trials, residual_ratio=rr_a,
+                        fac=fr.fac, K=fr.K)
+    else:
+        # Monotone Fiacco-McCormick (the default).
+        ms = monotone_mu_update_components(
+            opts, MuState(st.mu, st.tau), dual_inf / s_d, primal_inf, compl_fn)
+        mu, tau = ms.mu, ms.tau
+        sr = compute_search_direction(nlp, opts, it, ev, W, mu,
+                                      st.delta_w_last)
 
     # --- Line search ------------------------------------------------------
     ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
@@ -179,14 +233,49 @@ def ipm_step(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
     new_it = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), it, ls.trial)
     new_it = _kappa_sigma_clip(nlp, new_it, mu, opts.kappa_sigma)
 
-    # Failure handling (restoration phase lands here in milestone 2; for now
-    # flag the corresponding terminal statuses).
+    # --- Fallback: restoration phase (IpIpoptAlg.cpp:384
+    #     ActivateFallbackMechanism -> MinC_1NrmRestorationPhase) ----------
+    need_resto = jnp.logical_not(accepted)
     status = st.status
-    status = jnp.where(jnp.logical_and(jnp.logical_not(accepted), sr.failed),
-                       int(SolverReturn.ERROR_IN_STEP_COMPUTATION), status)
-    status = jnp.where(jnp.logical_and(jnp.logical_not(accepted),
-                                       jnp.logical_not(sr.failed)),
-                       int(SolverReturn.RESTORATION_FAILURE), status)
+    extra_iters = jnp.zeros((), jnp.int32)
+    fs_after = ls.filter
+    resto_count = st.restoration_count
+
+    # Unconstrained problems cannot be infeasible — the restoration NLP would
+    # be the original problem; skip tracing the nested solver entirely.
+    if enable_resto and nlp.struct.me + nlp.struct.mi == 0:
+        enable_resto = False
+
+    if enable_resto:
+        from .restoration import build_resto_nlp, perform_restoration
+        from .linesearch import filter_augment
+
+        resto_nlp = build_resto_nlp(nlp, opts)
+        resto_opts = opts.resto_options()
+        # Entering restoration augments the outer filter with the current
+        # point so the algorithm cannot return to it (A-9).
+        fs_entry = filter_augment(st.fs, ls.theta_curr, ls.phi_curr,
+                                  opts.gamma_theta, opts.gamma_phi)
+        rr = perform_restoration(
+            nlp, resto_nlp, opts, resto_opts, it, ev, mu, fs_entry,
+            ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
+        new_it = jax.tree.map(lambda a, b: jnp.where(need_resto, b, a),
+                              new_it, rr.it)
+        fs_after = jax.tree.map(lambda a, b: jnp.where(need_resto, b, a),
+                                ls.filter, fs_entry)
+        status = jnp.where(
+            jnp.logical_and(need_resto, rr.locally_infeasible),
+            int(SolverReturn.LOCAL_INFEASIBILITY), status)
+        status = jnp.where(jnp.logical_and(need_resto, rr.failed),
+                           int(SolverReturn.RESTORATION_FAILURE), status)
+        extra_iters = jnp.where(need_resto, rr.resto_iters, 0)
+        resto_count = resto_count + jnp.where(need_resto, 1, 0)
+    else:
+        status = jnp.where(jnp.logical_and(need_resto, sr.failed),
+                           int(SolverReturn.ERROR_IN_STEP_COMPUTATION), status)
+        status = jnp.where(jnp.logical_and(need_resto,
+                                           jnp.logical_not(sr.failed)),
+                           int(SolverReturn.RESTORATION_FAILURE), status)
 
     step_norm = jnp.maximum(jnp.max(jnp.abs(sr.step.x), initial=0.0),
                             jnp.max(jnp.abs(sr.step.s), initial=0.0))
@@ -205,13 +294,14 @@ def ipm_step(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
     status = jnp.where(status == int(SolverReturn.CONTINUE), conv.status, status)
 
     return IPMState(
-        it=new_it, mu=mu, tau=tau, iter_count=st.iter_count + 1,
-        delta_w_last=sr.delta_w_last, fs=ls.filter,
+        it=new_it, mu=mu, tau=tau,
+        iter_count=st.iter_count + 1 + extra_iters,
+        delta_w_last=sr.delta_w_last, fs=fs_after,
         theta_min=st.theta_min, theta_max=st.theta_max, status=status,
         acceptable_count=conv.acceptable_count,
         last_alpha_pr=ls.alpha_primal, last_alpha_du=ls.alpha_dual,
         last_ls_count=ls.n_backtracks, last_delta_x=sr.delta_x,
-        last_step_norm=step_norm, restoration_count=st.restoration_count)
+        last_step_norm=step_norm, restoration_count=resto_count, ams=ams)
 
 
 def initial_state(nlp: CanonicalNLP, opts: Options,
@@ -238,7 +328,8 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         acceptable_count=jnp.zeros((), jnp.int32),
         last_alpha_pr=z, last_alpha_du=z,
         last_ls_count=jnp.zeros((), jnp.int32), last_delta_x=z,
-        last_step_norm=z, restoration_count=jnp.zeros((), jnp.int32))
+        last_step_norm=z, restoration_count=jnp.zeros((), jnp.int32),
+        ams=adaptive_mu_init(dtype))
 
 
 def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
@@ -259,7 +350,7 @@ def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
         return s.status == int(SolverReturn.CONTINUE)
 
     def body(s: IPMState):
-        return ipm_step(nlp, opts, s)
+        return ipm_step_with_resto(nlp, opts, s)
 
     return lax.while_loop(cond, body, st)
 

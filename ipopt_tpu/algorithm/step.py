@@ -86,13 +86,25 @@ def solve_with_refinement(K, fac: LDLTResult, rhs, opts: Options):
     return sol, rr
 
 
-def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
-                             ev: Evals, W, mu, delta_w_last) -> StepResult:
-    """Assemble + factorize (with inertia correction) + solve + recover duals."""
+class FactorResult(NamedTuple):
+    fac: LDLTResult
+    K: jnp.ndarray
+    delta_x: jnp.ndarray
+    delta_c: jnp.ndarray
+    delta_w_last: jnp.ndarray
+    failed: jnp.ndarray
+    num_trials: jnp.ndarray
+
+
+def factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
+                  W, mu, delta_w_last) -> FactorResult:
+    """Assemble + factorize the augmented system with the inertia-correction
+    retry loop.  The matrix is independent of the barrier parameter (mu enters
+    only delta_c's magnitude), so one factorization serves any number of
+    right-hand sides — the adaptive-mu oracles exploit this."""
     n, mi, me = nlp.n, nlp.mi, nlp.me
     dtype = it.x.dtype
     sig = sigmas(nlp, it)
-    rhs = condensed_rhs(nlp, it, ev, mu, opts.kappa_d)
 
     expected_pos = n + mi
     expected_neg = me + mi
@@ -147,20 +159,34 @@ def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
     trials, delta_x, delta_c, K, fac, ok, gave_up = lax.while_loop(
         cond, body, (trial0, dx0, dc0, K0, fac0, ok0, gave0))
 
-    sol, rr = solve_with_refinement(K, fac, rhs, opts)
+    failed = jnp.logical_not(ok)
+    new_delta_w_last = jnp.where(delta_x > 0, delta_x, delta_w_last)
+    return FactorResult(fac=fac, K=K, delta_x=delta_x, delta_c=delta_c,
+                        delta_w_last=new_delta_w_last, failed=failed,
+                        num_trials=trials)
+
+
+def direction_from_solution(nlp: CanonicalNLP, it: Iterate, sol, mu, failed):
+    n, mi, me = nlp.n, nlp.mi, nlp.me
     dx, ds, dy_c, dy_d = split_aug_solution(sol, n, mi, me)
     dz_L, dz_U, dv_L, dv_U = recover_bound_mult_steps(nlp, it, dx, ds, mu)
-
-    failed = jnp.logical_not(ok)
-    # Zero the step on failure so downstream arithmetic stays finite.
     step = Iterate(x=dx, s=ds, y_c=dy_c, y_d=dy_d,
                    z_L=dz_L, z_U=dz_U, v_L=dv_L, v_U=dv_U)
-    step = jax.tree.map(lambda v: jnp.where(failed, jnp.zeros_like(v), v), step)
+    # Zero the step on failure so downstream arithmetic stays finite.
+    return jax.tree.map(lambda v: jnp.where(failed, jnp.zeros_like(v), v), step)
 
-    new_delta_w_last = jnp.where(delta_x > 0, delta_x, delta_w_last)
-    return StepResult(step=step, delta_x=delta_x, delta_c=delta_c,
-                      delta_w_last=new_delta_w_last, failed=failed,
-                      num_trials=trials, residual_ratio=rr, fac=fac, K=K)
+
+def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
+                             ev: Evals, W, mu, delta_w_last) -> StepResult:
+    """Assemble + factorize (with inertia correction) + solve + recover duals."""
+    fr = factorize_kkt(nlp, opts, it, ev, W, mu, delta_w_last)
+    rhs = condensed_rhs(nlp, it, ev, mu, opts.kappa_d)
+    sol, rr = solve_with_refinement(fr.K, fr.fac, rhs, opts)
+    step = direction_from_solution(nlp, it, sol, mu, fr.failed)
+    return StepResult(step=step, delta_x=fr.delta_x, delta_c=fr.delta_c,
+                      delta_w_last=fr.delta_w_last, failed=fr.failed,
+                      num_trials=fr.num_trials, residual_ratio=rr,
+                      fac=fr.fac, K=fr.K)
 
 
 def soc_direction(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,

@@ -23,14 +23,14 @@ from jax import lax
 from .types import Iterate, SolverReturn
 from .problem import NLP, CanonicalNLP, canonicalize
 from .options import Options
-from .algorithm.solver import (IPMState, ipm_step, initial_state, finalize,
-                               run_ipm, SolveResult)
+from .algorithm.solver import (IPMState, ipm_step_with_resto, initial_state,
+                               finalize, run_ipm, SolveResult)
 
 
 def guarded_step(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
     """ipm_step that freezes finished lanes (vmap-safe masking)."""
     running = st.status == int(SolverReturn.CONTINUE)
-    new = ipm_step(nlp, opts, st)
+    new = ipm_step_with_resto(nlp, opts, st)
     return jax.tree.map(lambda a, b: jnp.where(running, b, a), st, new)
 
 

@@ -46,6 +46,11 @@ class NLP:
     x_U: Optional[Any] = None
     g_L: Optional[Any] = None
     g_U: Optional[Any] = None
+    # Optional runtime parameter pytree: if set, f and g take (x, params) and
+    # params may vary per batch instance without retracing (the MPC/OPF
+    # pattern).  The reference has no equivalent — parameters must be baked
+    # into TNLP callbacks; sIPOPT bolts them on afterwards.
+    params: Optional[Any] = None
     # Optional warm-start data (TNLP::get_starting_point with init_z/init_lambda)
     y0: Optional[Any] = None        # constraint multipliers, shape (m,)
     z_L0: Optional[Any] = None
@@ -97,10 +102,12 @@ class CanonicalNLP(NamedTuple):
     static fields.
     """
 
-    # static
+    # static (f and g have the internal signature (x_full, params))
     struct: CanonicalStructure
     f: Callable
     g: Optional[Callable]
+    # runtime parameter pytree (array leaves; batched under vmap)
+    params: Any
     # arrays (free-variable space, relaxed bounds)
     x_L: Any
     x_U: Any
@@ -146,13 +153,13 @@ class CanonicalNLP(NamedTuple):
 
     # -- evaluation (all pure; scaled) ------------------------------------
     def eval_f(self, x):
-        return self.obj_scale * self.f(self.x_full(x))
+        return self.obj_scale * self.f(self.x_full(x), self.params)
 
     def eval_grad_f(self, x):
         return jax.grad(self.eval_f)(x)
 
     def _g_split(self, xf):
-        gv = self.g(xf)
+        gv = self.g(xf, self.params)
         s = self.struct
         c = gv[jnp.asarray(s.eq_idx)] - self.c_rhs if s.me else jnp.zeros((0,), xf.dtype)
         d = gv[jnp.asarray(s.ineq_idx)] if s.mi else jnp.zeros((0,), xf.dtype)
@@ -252,7 +259,11 @@ def canonicalize(nlp: NLP, options: Optional[Options] = None,
     x_L, x_U = _apply_inf(x_L, x_U)
 
     if nlp.g is not None:
-        m = int(jax.eval_shape(nlp.g, jax.ShapeDtypeStruct((n_full,), dtype)).shape[0])
+        xs = jax.ShapeDtypeStruct((n_full,), dtype)
+        if nlp.params is None:
+            m = int(jax.eval_shape(nlp.g, xs).shape[0])
+        else:
+            m = int(jax.eval_shape(nlp.g, xs, nlp.params).shape[0])
         g_L = _fill(nlp.g_L, -np.inf, m)
         g_U = _fill(nlp.g_U, np.inf, m)
         g_L, g_U = _apply_inf(g_L, g_U)
@@ -319,8 +330,18 @@ def canonicalize(nlp: NLP, options: Optional[Options] = None,
     def arr(v):
         return jnp.asarray(v, dtype)
 
-    return CanonicalNLP(
-        struct=struct, f=nlp.f, g=nlp.g,
+    # Normalize callables to the internal (x_full, params) signature.
+    if nlp.params is None:
+        user_f, user_g = nlp.f, nlp.g
+        f2 = lambda x, params: user_f(x)
+        g2 = (lambda x, params: user_g(x)) if user_g is not None else None
+        params = ()
+    else:
+        f2, g2 = nlp.f, nlp.g
+        params = jax.tree.map(lambda v: jnp.asarray(v, dtype), nlp.params)
+
+    cnlp = CanonicalNLP(
+        struct=struct, f=f2, g=g2, params=params,
         x_L=arr(np.where(has_xL, x_L_r, 0.0)),
         x_U=arr(np.where(has_xU, x_U_r, 0.0)),
         d_L=arr(np.where(has_dL, d_L_r, 0.0)),
@@ -332,3 +353,5 @@ def canonicalize(nlp: NLP, options: Optional[Options] = None,
         x_U_orig=arr(np.where(np.isfinite(x_U_orig), x_U_orig, 0.0)),
         obj_scale=arr(1.0), c_scale=arr(np.ones(me)), d_scale=arr(np.ones(mi)),
     )
+    from .scaling import compute_scaling
+    return compute_scaling(cnlp, opts)

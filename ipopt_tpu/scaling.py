@@ -1,0 +1,67 @@
+"""NLP scaling strategies.
+
+Reference parity: ``GradientScaling`` (``src/Algorithm/IpGradientScaling.cpp:19-63``):
+scale the objective and each constraint so the max gradient component at x0 is
+at most ``nlp_scaling_max_gradient``:
+
+    df   = max_grad / max(max_grad, ||grad f(x0)||_inf)
+    dc_i = max_grad / max(max_grad, ||grad c_i(x0)||_inf)
+
+(scaling factors are <= 1, floored at ``nlp_scaling_min_value``), plus
+``NoNLPScaling`` and ``UserScaling`` (from the NLP's own factors).  The scaled
+problem is what the algorithm sees; SolveResult unscales (finalize()).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .options import Options
+
+
+def compute_scaling(cnlp, opts: Options):
+    """Fill the obj_scale/c_scale/d_scale fields of a CanonicalNLP."""
+    if opts.nlp_scaling_method == "none":
+        return cnlp
+    if opts.nlp_scaling_method == "user-scaling":
+        # User factors arrive via obj_scaling_factor (others via future
+        # NLP metadata); obj_scaling_factor < 0 flips to maximization.
+        return cnlp._replace(
+            obj_scale=jnp.asarray(opts.obj_scaling_factor, cnlp.x0.dtype))
+    if opts.nlp_scaling_method == "equilibration-based":
+        raise NotImplementedError(
+            "equilibration-based scaling (MC19 analog) not yet implemented")
+
+    # gradient-based (the default)
+    max_grad = opts.nlp_scaling_max_gradient
+    min_val = opts.nlp_scaling_min_value
+    x0 = cnlp.x0
+    dtype = x0.dtype
+
+    gf = jax.grad(lambda x: cnlp.f(cnlp.x_full(x), cnlp.params))(x0)
+    gnorm = jnp.max(jnp.abs(gf), initial=0.0)
+    df = jnp.where(gnorm > max_grad, max_grad / gnorm, 1.0)
+    df = jnp.maximum(df, min_val) * opts.obj_scaling_factor
+
+    me, mi = cnlp.struct.me, cnlp.struct.mi
+    c_scale = jnp.ones((me,), dtype)
+    d_scale = jnp.ones((mi,), dtype)
+    if me + mi > 0:
+        def graw(x):
+            return cnlp.g(cnlp.x_full(x), cnlp.params)
+        J = jax.jacfwd(graw)(x0)          # (m, n_full-free? no: n) rows in g order
+        row_norm = jnp.max(jnp.abs(J), axis=1, initial=0.0)
+        dg = jnp.where(row_norm > max_grad, max_grad / row_norm, 1.0)
+        dg = jnp.maximum(dg, min_val)
+        if me:
+            c_scale = dg[jnp.asarray(cnlp.struct.eq_idx)]
+        if mi:
+            d_scale = dg[jnp.asarray(cnlp.struct.ineq_idx)]
+
+    # Scaling the inequality rows rescales their bounds too.
+    return cnlp._replace(
+        obj_scale=jnp.asarray(df, dtype),
+        c_scale=c_scale.astype(dtype),
+        d_scale=d_scale.astype(dtype),
+        d_L=cnlp.d_L * d_scale,
+        d_U=cnlp.d_U * d_scale)

@@ -175,10 +175,10 @@ ALL_SMALL = [hs001, hs006, hs016, hs035, hs038, hs051, hs071, hs076, hs100]
 KNOWN_OPTIMA = {
     "hs001": 0.0,
     "hs006": 0.0,
-    # hs016: 0.25 is the *global* optimum; from x0=(-2,1) (pushed to the
-    # x1 lower bound) interior-point methods converge to the local corner
-    # minimum x=(-0.5, sqrt(0.5)), f = 100*(sqrt(.5)-.25)^2 + 1.5^2.
-    "hs016": 100.0 * (np.sqrt(0.5) - 0.25) ** 2 + 2.25,
+    # hs016: with default gradient-based scaling the solver reaches the
+    # global optimum 0.25 at (0.5, 0.25); without scaling it lands in the
+    # local corner minimum at x=(-0.5, sqrt(0.5)) instead.
+    "hs016": 0.25,
     "hs035": 1.0 / 9.0,
     "hs038": 0.0,
     "hs051": 0.0,
