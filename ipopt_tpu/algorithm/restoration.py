@@ -48,6 +48,7 @@ from .. import kkt
 from ..kkt import evaluate, slacks, barrier_obj
 from .linesearch import FilterState, filter_acceptable
 from .mu import adaptive_mu_init
+from .quasi_newton import lbfgs_init
 
 
 def build_resto_nlp(orig: CanonicalNLP, opts: Options) -> CanonicalNLP:
@@ -225,7 +226,12 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
         last_ls_count=jnp.zeros((), jnp.int32),
         last_delta_x=jnp.zeros((), dtype), last_step_norm=jnp.zeros((), dtype),
         restoration_count=jnp.zeros((), jnp.int32),
-        ams=adaptive_mu_init(dtype))
+        ams=adaptive_mu_init(dtype),
+        lbfgs=lbfgs_init(
+            rnlp.n,
+            resto_opts.limited_memory_max_history
+            if resto_opts.hessian_approximation == "limited-memory" else 0,
+            dtype, resto_opts.limited_memory_init_val))
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry
     kappa = opts.required_infeasibility_reduction

@@ -37,6 +37,7 @@ from .linesearch import (FilterState, filter_init, line_search,
 from .mu import (MuState, mu_init_state, monotone_mu_update_components,
                  AdaptiveMuState, adaptive_mu_init, adaptive_mu_update,
                  loqo_mu, probing_mu, quality_function_mu)
+from .quasi_newton import lbfgs_init
 from .init import default_initialize, warm_start_initialize
 from .convergence import check_convergence
 
@@ -60,6 +61,7 @@ class IPMState(NamedTuple):
     last_step_norm: jnp.ndarray
     restoration_count: jnp.ndarray
     ams: AdaptiveMuState
+    lbfgs: Any  # LBFGSState (zero-width history when hessian is exact)
 
 
 class SolveResult(NamedTuple):
@@ -178,7 +180,12 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         jnp.max(jnp.abs(res0.c), initial=0.0),
         jnp.max(jnp.abs(res0.d_minus_s), initial=0.0))
     compl_fn = _compl_max_fn(nlp, it, s_c)
-    W = nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
+    # --- UpdateHessian (Exact | LimMemQuasiNewton, IpIpoptAlg.cpp:351) ----
+    if opts.hessian_approximation == "limited-memory":
+        from .quasi_newton import lbfgs_dense_W
+        W = lbfgs_dense_W(st.lbfgs)
+    else:
+        W = nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
     ams = st.ams
 
     if opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm:
@@ -286,6 +293,18 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
 
     # --- CheckConvergence at the NEW point --------------------------------
     ev_new = evaluate(nlp, new_it.x)
+
+    # --- L-BFGS pair update (LimMemQuasiNewtonUpdater) --------------------
+    lbfgs = st.lbfgs
+    if opts.hessian_approximation == "limited-memory":
+        from .quasi_newton import lbfgs_update
+        gl_new = (ev_new.grad_f + ev_new.J_c.T @ new_it.y_c
+                  + ev_new.J_d.T @ new_it.y_d)
+        gl_old = (ev.grad_f + ev.J_c.T @ new_it.y_c + ev.J_d.T @ new_it.y_d)
+        s_vec = new_it.x - it.x
+        y_vec = gl_new - gl_old
+        upd = lbfgs_update(lbfgs, s_vec, y_vec, opts)
+        lbfgs = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), lbfgs, upd)
     res_new = kkt_residuals(nlp, new_it, ev_new, 0.0)
     E, d_inf, p_inf, c_inf = optimality_error(nlp, new_it, res_new, opts.s_max)
     conv = check_convergence(opts, st.iter_count + 1, st.acceptable_count,
@@ -301,7 +320,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         acceptable_count=conv.acceptable_count,
         last_alpha_pr=ls.alpha_primal, last_alpha_du=ls.alpha_dual,
         last_ls_count=ls.n_backtracks, last_delta_x=sr.delta_x,
-        last_step_norm=step_norm, restoration_count=resto_count, ams=ams)
+        last_step_norm=step_norm, restoration_count=resto_count, ams=ams,
+        lbfgs=lbfgs)
 
 
 def initial_state(nlp: CanonicalNLP, opts: Options,
@@ -329,7 +349,12 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         last_alpha_pr=z, last_alpha_du=z,
         last_ls_count=jnp.zeros((), jnp.int32), last_delta_x=z,
         last_step_norm=z, restoration_count=jnp.zeros((), jnp.int32),
-        ams=adaptive_mu_init(dtype))
+        ams=adaptive_mu_init(dtype),
+        lbfgs=lbfgs_init(
+            nlp.n,
+            opts.limited_memory_max_history
+            if opts.hessian_approximation == "limited-memory" else 0,
+            dtype, opts.limited_memory_init_val))
 
 
 def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
