@@ -436,6 +436,17 @@ def solve(problem, options: Optional[Options] = None, it0=None,
         cnlp = canonicalize(problem, opts)
     else:
         cnlp = problem
+    if opts.derivative_test != "none":
+        from ..deriv_check import check_derivatives
+        report = check_derivatives(cnlp, opts)
+        if opts.print_level > 0:
+            state = "passed" if report.ok else "FAILED"
+            print(f"Derivative checker {state} "
+                  f"(grad {report.max_rel_err_grad:.2e}, "
+                  f"jac {report.max_rel_err_jac:.2e}, "
+                  f"hess {report.max_rel_err_hess:.2e})")
+            for line in report.failures[:20]:
+                print("  " + line)
     if opts.print_level >= 5:
         _print_header()
     return _solve_canonical(cnlp, opts, it0)
