@@ -26,7 +26,9 @@ def main():
     dtype_str = "float32" if on_tpu else "float64"
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
-    tol = 1e-6 if dtype_str == "float32" else 1e-8
+    # Single-precision tolerances mirror the reference's IPOPT_SINGLE build
+    # defaults (tol 1e-5, IpIpoptData.cpp:27-38).
+    tol = 1e-5 if dtype_str == "float32" else 1e-8
 
     def family(delta):
         return NLP(
@@ -39,7 +41,9 @@ def main():
             g_U=jnp.array([2e19, 40.0 + delta]),
             x0=jnp.array([1.0, 5.0, 5.0, 1.0]))
 
-    opts = Options(dtype=dtype_str, tol=tol, print_level=0)
+    opts = Options(dtype=dtype_str, tol=tol, print_level=0,
+                   acceptable_tol=1e-4 if dtype_str == "float32" else 1e-6,
+                   acceptable_iter=10)
     B = 512
     nlp_b = stack_problems([family(0.005 * i) for i in range(B)], opts)
 

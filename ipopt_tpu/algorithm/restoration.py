@@ -231,7 +231,8 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
             rnlp.n,
             resto_opts.limited_memory_max_history
             if resto_opts.hessian_approximation == "limited-memory" else 0,
-            dtype, resto_opts.limited_memory_init_val))
+            dtype, resto_opts.limited_memory_init_val),
+        tiny_step_count=jnp.zeros((), jnp.int32))
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry
     kappa = opts.required_infeasibility_reduction

@@ -62,6 +62,7 @@ class IPMState(NamedTuple):
     restoration_count: jnp.ndarray
     ams: AdaptiveMuState
     lbfgs: Any  # LBFGSState (zero-width history when hessian is exact)
+    tiny_step_count: jnp.ndarray
 
 
 class SolveResult(NamedTuple):
@@ -231,12 +232,30 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         sr = compute_search_direction(nlp, opts, it, ev, W, mu,
                                       st.delta_w_last)
 
+    # --- Tiny-step detection (BacktrackingLineSearch tiny_step_tol) -------
+    # When the scaled step is at machine-precision level, further progress is
+    # impossible; two consecutive tiny steps terminate with STOP_AT_TINY_STEP.
+    eps = jnp.finfo(it.x.dtype).eps
+    tiny_tol = jnp.where(opts.tiny_step_tol > 0, opts.tiny_step_tol, 10.0 * eps)
+    step_scale = jnp.max(jnp.abs(sr.step.x) / (1.0 + jnp.abs(it.x)), initial=0.0)
+    if nlp.mi:
+        step_scale = jnp.maximum(
+            step_scale,
+            jnp.max(jnp.abs(sr.step.s) / (1.0 + jnp.abs(it.s)), initial=0.0))
+    is_tiny = jnp.logical_and(step_scale <= tiny_tol,
+                              jnp.logical_not(sr.failed))
+    tiny_count = jnp.where(is_tiny, st.tiny_step_count + 1, 0)
+
     # --- Line search ------------------------------------------------------
     ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
                      st.theta_min, st.theta_max)
 
     # --- AcceptTrialPoint -------------------------------------------------
     accepted = jnp.logical_and(ls.accepted, jnp.logical_not(sr.failed))
+    # A tiny step is "accepted" as-is (full fraction-to-boundary step) so the
+    # algorithm doesn't fall into restoration from a converged-to-roundoff
+    # point (IpBacktrackingLineSearch.cpp tiny-step handling).
+    accepted = jnp.logical_or(accepted, is_tiny)
     new_it = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), it, ls.trial)
     new_it = _kappa_sigma_clip(nlp, new_it, mu, opts.kappa_sigma)
 
@@ -298,9 +317,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     lbfgs = st.lbfgs
     if opts.hessian_approximation == "limited-memory":
         from .quasi_newton import lbfgs_update
-        gl_new = (ev_new.grad_f + ev_new.J_c.T @ new_it.y_c
-                  + ev_new.J_d.T @ new_it.y_d)
-        gl_old = (ev.grad_f + ev.J_c.T @ new_it.y_c + ev.J_d.T @ new_it.y_d)
+        gl_new = (ev_new.grad_f + ev_new.jc_t(new_it.y_c)
+                  + ev_new.jd_t(new_it.y_d))
+        gl_old = (ev.grad_f + ev.jc_t(new_it.y_c) + ev.jd_t(new_it.y_d))
         s_vec = new_it.x - it.x
         y_vec = gl_new - gl_old
         upd = lbfgs_update(lbfgs, s_vec, y_vec, opts)
@@ -311,6 +330,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                              E, d_inf, p_inf, c_inf,
                              jnp.max(jnp.abs(new_it.x), initial=0.0))
     status = jnp.where(status == int(SolverReturn.CONTINUE), conv.status, status)
+    status = jnp.where(
+        jnp.logical_and(status == int(SolverReturn.CONTINUE), tiny_count >= 2),
+        int(SolverReturn.STOP_AT_TINY_STEP), status)
 
     return IPMState(
         it=new_it, mu=mu, tau=tau,
@@ -321,7 +343,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         last_alpha_pr=ls.alpha_primal, last_alpha_du=ls.alpha_dual,
         last_ls_count=ls.n_backtracks, last_delta_x=sr.delta_x,
         last_step_norm=step_norm, restoration_count=resto_count, ams=ams,
-        lbfgs=lbfgs)
+        lbfgs=lbfgs, tiny_step_count=tiny_count)
 
 
 def initial_state(nlp: CanonicalNLP, opts: Options,
@@ -354,7 +376,8 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
             nlp.n,
             opts.limited_memory_max_history
             if opts.hessian_approximation == "limited-memory" else 0,
-            dtype, opts.limited_memory_init_val))
+            dtype, opts.limited_memory_init_val),
+        tiny_step_count=jnp.zeros((), jnp.int32))
 
 
 def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:

@@ -196,7 +196,7 @@ def soc_direction(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     TrySecondOrderCorrection, IpFilterLSAcceptor.cpp:531, soc_method=0)."""
     from ..kkt import grad_barrier_x, grad_barrier_s
     r_x = (grad_barrier_x(nlp, it, ev.grad_f, mu, opts.kappa_d)
-           + ev.J_c.T @ it.y_c + ev.J_d.T @ it.y_d)
+           + ev.jc_t(it.y_c) + ev.jd_t(it.y_d))
     r_s = grad_barrier_s(nlp, it, mu, opts.kappa_d) - it.y_d
     rhs = -jnp.concatenate([r_x, r_s, c_soc, dms_soc])
     sol, _ = solve_with_refinement(K, fac, rhs, opts)

@@ -22,7 +22,7 @@ structured/sparse variants live in ``ipopt_tpu/linalg``.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,18 +32,28 @@ from .problem import CanonicalNLP
 
 
 class Evals(NamedTuple):
-    """Cached NLP evaluations at a point (OrigIpoptNLP cache equivalent)."""
+    """Cached NLP evaluations at a point (OrigIpoptNLP cache equivalent).
+
+    ``J_c``/``J_d`` are dense Jacobians — present for the dense KKT backend
+    only.  All algorithm-level code uses the transpose-product closures
+    ``jc_t(y)`` = J_c^T y and ``jd_t(y)`` = J_d^T y, which structured backends
+    implement via VJPs without ever materializing a dense Jacobian.
+    """
 
     f: jnp.ndarray
     grad_f: jnp.ndarray
     c: jnp.ndarray
     d: jnp.ndarray
-    J_c: jnp.ndarray
-    J_d: jnp.ndarray
+    J_c: Any
+    J_d: Any
+    jc_t: Any
+    jd_t: Any
 
 
 def evaluate(nlp: CanonicalNLP, x: jnp.ndarray) -> Evals:
-    return Evals(*nlp.eval_all(x))
+    f, grad_f, c, d, J_c, J_d = nlp.eval_all(x)
+    return Evals(f=f, grad_f=grad_f, c=c, d=d, J_c=J_c, J_d=J_d,
+                 jc_t=lambda y: J_c.T @ y, jd_t=lambda y: J_d.T @ y)
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +118,7 @@ def grad_barrier_s(nlp: CanonicalNLP, it: Iterate, mu, kappa_d=1e-5):
 def kkt_residuals(nlp: CanonicalNLP, it: Iterate, ev: Evals, mu) -> KKTResiduals:
     """Raw 8-block KKT residuals (IpoptCalculatedQuantities curr_*_resid)."""
     sl_xL, sl_xU, sl_sL, sl_sU = slacks(nlp, it)
-    grad_lag_x = (ev.grad_f + ev.J_c.T @ it.y_c + ev.J_d.T @ it.y_d
+    grad_lag_x = (ev.grad_f + ev.jc_t(it.y_c) + ev.jd_t(it.y_d)
                   - it.z_L + it.z_U)
     grad_lag_s = -it.y_d - it.v_L + it.v_U
     return KKTResiduals(
@@ -228,7 +238,7 @@ def condensed_rhs(nlp: CanonicalNLP, it: Iterate, ev: Evals, mu,
     barrier-gradient forms after eliminating the bound multipliers
     (PDFullSpaceSolver's reduction)."""
     r_x = (grad_barrier_x(nlp, it, ev.grad_f, mu, kappa_d)
-           + ev.J_c.T @ it.y_c + ev.J_d.T @ it.y_d)
+           + ev.jc_t(it.y_c) + ev.jd_t(it.y_d))
     r_s = grad_barrier_s(nlp, it, mu, kappa_d) - it.y_d
     return -jnp.concatenate([r_x, r_s, ev.c, ev.d - it.s])
 

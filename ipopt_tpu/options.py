@@ -197,7 +197,7 @@ class Options:
     accept_after_max_steps: int = _opt(-1, "Line Search", "Accept after N backtracks regardless.", -1)
     watchdog_shortened_iter_trigger: int = _opt(10, "Line Search", "Shortened iters before watchdog.", 0)
     watchdog_trial_iter_max: int = _opt(3, "Line Search", "Max watchdog trial iterations.", 1)
-    tiny_step_tol: float = _opt(10.0 * 2.22e-16, "Line Search", "Tiny step detection tol.", 0.0)
+    tiny_step_tol: float = _opt(0.0, "Line Search", "Tiny step detection tol (0 = 10*machine_eps of dtype).", 0.0)
     tiny_step_y_tol: float = _opt(1e-2, "Line Search", "Tiny step dual tolerance.", 0.0)
     max_filter_size: int = _opt(100, "Line Search", "Static filter capacity (TPU-specific).", 4)
     kappa_sigma: float = _opt(1e10, "Line Search", "Bound multiplier clipping factor.", 0.0, lower_strict=True)

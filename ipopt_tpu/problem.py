@@ -127,6 +127,9 @@ class CanonicalNLP(NamedTuple):
     obj_scale: Any
     c_scale: Any
     d_scale: Any
+    # static: chained-structure descriptor (ipopt_tpu.chained.ChainInfo) for
+    # the block-tridiagonal KKT backend; None selects the dense backend
+    chain: Any = None
 
     # -- convenience -------------------------------------------------------
     @property
@@ -209,19 +212,19 @@ class CanonicalNLP(NamedTuple):
 # Register CanonicalNLP as a pytree where only the array fields are leaves.
 _ARRAY_FIELDS = tuple(
     f for f in CanonicalNLP._fields
-    if f not in ("struct", "f", "g"))
+    if f not in ("struct", "f", "g", "chain"))
 
 
 def _cnlp_flatten(p: CanonicalNLP):
     children = tuple(getattr(p, name) for name in _ARRAY_FIELDS)
-    aux = (p.struct, p.f, p.g)
+    aux = (p.struct, p.f, p.g, p.chain)
     return children, aux
 
 
 def _cnlp_unflatten(aux, children):
-    struct, f, g = aux
+    struct, f, g, chain = aux
     kwargs = dict(zip(_ARRAY_FIELDS, children))
-    return CanonicalNLP(struct=struct, f=f, g=g, **kwargs)
+    return CanonicalNLP(struct=struct, f=f, g=g, chain=chain, **kwargs)
 
 
 jax.tree_util.register_pytree_node(CanonicalNLP, _cnlp_flatten, _cnlp_unflatten)
