@@ -1,0 +1,235 @@
+"""Block-tridiagonal augmented-KKT backend for chained problems.
+
+Assembles the augmented system of a chained NLP (ipopt_tpu/chained.py) directly
+into a BTDMatrix and factorizes with block cyclic reduction — the structured
+replacement for ``StdAugSystemSolver`` + MA27 (SURVEY.md §2.3).
+
+Stage-block unknown ordering (block k of K+1 blocks, size bs = v + 2 mk):
+
+    [ x_k (v) | s_k (mk) | y_k (mk) ]
+
+    diag_k = [[W_kk + Sig_x + dx I,        0,         A_k^T ],
+              [        0,          Sig_s + dx I_m,    -I_m  ],
+              [       A_k,              -I_m,        -dc I  ]]
+    sub_k (rows block k+1, cols block k)
+           = [[W_{k+1,k}, 0, B_k^T], [0,0,0], [0,0,0]]
+
+Equality rows have no slack: their s slot is a dummy (+1 diagonal, no -I
+coupling, zero rhs).  The terminal block K has only x_K; its s/y slots are
+dummies.  Expected inertia therefore is
+    pos = n + mi + (me + 2 mk)  [real positives + dummies]
+    neg = me + mi.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..problem import CanonicalNLP
+from ..types import Iterate
+from ..options import Options
+from ..kkt import SigmaBlocks, sigmas
+from ..linalg.block_tridiag import (BTDMatrix, bcr_factorize, bcr_solve,
+                                    BCRFactor)
+from ..chained import ChainInfo, stage_jacobians, stage_hessians
+
+
+def _row_layout(nlp: CanonicalNLP):
+    """Static helpers: flat constraint-row index arrays."""
+    ch: ChainInfo = nlp.chain
+    s = nlp.struct
+    return ch, s.eq_idx, s.ineq_idx
+
+
+def assemble_btd(nlp: CanonicalNLP, it: Iterate, AB, Wblocks,
+                 delta_x, delta_c) -> BTDMatrix:
+    ch: ChainInfo = nlp.chain
+    K, v, mk, bs = ch.K, ch.v, ch.mk, ch.bs
+    dtype = it.x.dtype
+    A, B = AB
+    Wd, Wo = Wblocks
+
+    sig = sigmas(nlp, it)
+    sigma_x = sig.sigma_x.reshape(K + 1, v)
+    # scatter sigma_s (mi,) into (K, mk); dummy slots get 0 here
+    sig_s_flat = jnp.zeros((K * mk,), dtype)
+    if nlp.struct.mi:
+        sig_s_flat = sig_s_flat.at[jnp.asarray(nlp.struct.ineq_idx)].set(
+            sig.sigma_s)
+    sigma_s = sig_s_flat.reshape(K, mk)
+    ineq_row = jnp.asarray(~ch.eq_mask)  # (K, mk) bool
+
+    diag = jnp.zeros((K + 1, bs, bs), dtype)
+    # x-x block
+    xx = Wd + (sigma_x + delta_x)[:, :, None] * jnp.eye(v, dtype=dtype)
+    diag = diag.at[:, :v, :v].set(xx)
+
+    eye_m = jnp.eye(mk, dtype=dtype)
+    # s-s block: Sig_s + delta_x on ineq rows; +1 dummy on eq rows
+    ss = jnp.where(ineq_row[:, :, None],
+                   (sigma_s + delta_x)[:, :, None] * eye_m,
+                   eye_m)
+    diag = diag.at[:K, v:v + mk, v:v + mk].set(ss)
+    # y-y block: -delta_c
+    yy = -delta_c * eye_m
+    diag = diag.at[:K, v + mk:, v + mk:].set(
+        jnp.broadcast_to(yy, (K, mk, mk)))
+    # y-x / x-y: A_k
+    diag = diag.at[:K, v + mk:, :v].set(A)
+    diag = diag.at[:K, :v, v + mk:].set(jnp.swapaxes(A, -1, -2))
+    # y-s / s-y: -I on ineq rows
+    ys = jnp.where(ineq_row[:, :, None], -eye_m, jnp.zeros_like(eye_m))
+    diag = diag.at[:K, v + mk:, v:v + mk].set(ys)
+    diag = diag.at[:K, v:v + mk, v + mk:].set(jnp.swapaxes(ys, -1, -2))
+    # terminal block K: s/y dummies
+    diag = diag.at[K, v:, v:].set(jnp.eye(2 * mk, dtype=dtype))
+
+    sub = jnp.zeros((K + 1, bs, bs), dtype)
+    sub = sub.at[:K, :v, :v].set(Wo)
+    sub = sub.at[:K, :v, v + mk:].set(jnp.swapaxes(B, -1, -2))
+    return BTDMatrix(diag=diag, sub=sub)
+
+
+def pack_rhs(nlp: CanonicalNLP, r_x, r_s, r_c, r_d):
+    """(n,), (mi,), (me,), (mi,) -> flat stage layout ((K+1)*bs,)."""
+    ch: ChainInfo = nlp.chain
+    K, v, mk, bs = ch.K, ch.v, ch.mk, ch.bs
+    dtype = r_x.dtype
+    s = nlp.struct
+    out = jnp.zeros((K + 1, bs), dtype)
+    out = out.at[:, :v].set(r_x.reshape(K + 1, v))
+    s_flat = jnp.zeros((K * mk,), dtype)
+    y_flat = jnp.zeros((K * mk,), dtype)
+    if s.mi:
+        ii = jnp.asarray(s.ineq_idx)
+        s_flat = s_flat.at[ii].set(r_s)
+        y_flat = y_flat.at[ii].set(r_d)
+    if s.me:
+        y_flat = y_flat.at[jnp.asarray(s.eq_idx)].set(r_c)
+    out = out.at[:K, v:v + mk].set(s_flat.reshape(K, mk))
+    out = out.at[:K, v + mk:].set(y_flat.reshape(K, mk))
+    return out.reshape(-1)
+
+
+def unpack_sol(nlp: CanonicalNLP, sol):
+    """Inverse of pack_rhs: -> (dx (n,), ds (mi,), dy_c (me,), dy_d (mi,))."""
+    ch: ChainInfo = nlp.chain
+    K, v, mk, bs = ch.K, ch.v, ch.mk, ch.bs
+    s = nlp.struct
+    S = sol.reshape(K + 1, bs)
+    dx = S[:, :v].reshape(-1)
+    s_flat = S[:K, v:v + mk].reshape(-1)
+    y_flat = S[:K, v + mk:].reshape(-1)
+    ds = s_flat[jnp.asarray(s.ineq_idx)] if s.mi else jnp.zeros((0,), sol.dtype)
+    dy_c = y_flat[jnp.asarray(s.eq_idx)] if s.me else jnp.zeros((0,), sol.dtype)
+    dy_d = y_flat[jnp.asarray(s.ineq_idx)] if s.mi else jnp.zeros((0,), sol.dtype)
+    return dx, ds, dy_c, dy_d
+
+
+def expected_inertia(nlp: CanonicalNLP):
+    ch: ChainInfo = nlp.chain
+    s = nlp.struct
+    n_dummy = s.me + 2 * ch.mk
+    return s.n + s.mi + n_dummy, s.me + s.mi
+
+
+class ChainFactorResult(NamedTuple):
+    fac: BCRFactor
+    K: BTDMatrix             # assembled matrix (for refinement matvecs)
+    delta_x: jnp.ndarray
+    delta_c: jnp.ndarray
+    delta_w_last: jnp.ndarray
+    failed: jnp.ndarray
+    num_trials: jnp.ndarray
+
+
+def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
+                          AB, Wblocks, mu, delta_w_last) -> ChainFactorResult:
+    """Inertia-corrected BTD factorization (same perturbation schedule as the
+    dense path, PDPerturbationHandler)."""
+    from jax import lax
+    dtype = it.x.dtype
+    exp_pos, exp_neg = expected_inertia(nlp)
+    delta_cd = (opts.jacobian_regularization_value
+                * mu ** opts.jacobian_regularization_exponent)
+
+    def factor(delta_x, delta_c):
+        Kbtd = assemble_btd(nlp, it, AB, Wblocks, delta_x, delta_c)
+        fac = bcr_factorize(Kbtd, pivot_tol=opts.ldlt_pivot_tol)
+        ok = jnp.logical_and(
+            jnp.logical_and(fac.num_pos == exp_pos, fac.num_neg == exp_neg),
+            jnp.logical_not(fac.singular))
+        return Kbtd, fac, ok
+
+    zero = jnp.zeros((), dtype)
+    dc0 = jnp.where(opts.perturb_always_cd, delta_cd, 0.0)
+    K0, fac0, ok0 = factor(zero, dc0)
+
+    def cond(carry):
+        trial, dxv, dcv, Kb, fac, ok, gave_up = carry
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(ok, gave_up)),
+            trial < opts.max_inertia_correction_rounds)
+
+    def body(carry):
+        trial, dxv, dcv, Kb, fac, ok, gave_up = carry
+        was_singular = fac.singular
+        only_dc = jnp.logical_and(was_singular, dcv == 0)
+        new_dc = jnp.where(jnp.logical_or(was_singular, dcv > 0),
+                           jnp.maximum(dcv, delta_cd), dcv)
+        first_try = (dxv == 0)
+        start_val = jnp.where(delta_w_last == 0,
+                              opts.first_hessian_perturbation,
+                              jnp.maximum(opts.min_hessian_perturbation,
+                                          delta_w_last * opts.perturb_dec_fact))
+        inc_fact = jnp.where(delta_w_last == 0,
+                             opts.perturb_inc_fact_first, opts.perturb_inc_fact)
+        bumped = jnp.where(first_try, start_val, dxv * inc_fact)
+        new_dx = jnp.where(only_dc, dxv, bumped)
+        gave_up = new_dx > opts.max_hessian_perturbation
+        Kb, fac, ok = factor(new_dx, new_dc)
+        return trial + 1, new_dx, new_dc, Kb, fac, ok, gave_up
+
+    trials, dxv, dcv, Kb, fac, ok, gave_up = lax.while_loop(
+        cond, body,
+        (jnp.ones((), jnp.int32), zero, dc0, K0, fac0, ok0,
+         jnp.zeros((), bool)))
+
+    failed = jnp.logical_not(ok)
+    new_last = jnp.where(dxv > 0, dxv, delta_w_last)
+    return ChainFactorResult(fac=fac, K=Kb, delta_x=dxv, delta_c=dcv,
+                             delta_w_last=new_last, failed=failed,
+                             num_trials=trials)
+
+
+def chained_solve_refined(Kbtd: BTDMatrix, fac: BCRFactor, rhs_flat,
+                          opts: Options):
+    """bcr solve + iterative refinement against the assembled BTD matrix."""
+    from jax import lax
+    sol = bcr_solve(fac, rhs_flat)
+    rhs_norm = jnp.maximum(jnp.max(jnp.abs(rhs_flat)), 1e-30)
+
+    def ratio(s):
+        return jnp.max(jnp.abs(rhs_flat - Kbtd.matvec(s))) / rhs_norm
+
+    def body(carry):
+        i, sol, _ = carry
+        r = rhs_flat - Kbtd.matvec(sol)
+        sol = sol + bcr_solve(fac, r)
+        return i + 1, sol, ratio(sol)
+
+    def cond(carry):
+        i, _, rr = carry
+        return jnp.logical_or(
+            i < opts.min_refinement_steps,
+            jnp.logical_and(i < opts.max_refinement_steps,
+                            rr > opts.residual_ratio_max))
+
+    if opts.fast_step_computation:
+        return sol, jnp.zeros((), rhs_flat.dtype)
+    _, sol, rr = lax.while_loop(cond, body,
+                                (jnp.zeros((), jnp.int32), sol, ratio(sol)))
+    return sol, rr

@@ -98,11 +98,18 @@ def default_initialize(nlp: CanonicalNLP, opts: Options, x0=None) -> Iterate:
         v_L = jnp.where(nlp.has_dL, val, 0.0).astype(dtype)
         v_U = jnp.where(nlp.has_dU, val, 0.0).astype(dtype)
 
-    grad_f = nlp.eval_grad_f(x)
-    J_c = nlp.eval_jac_c(x)
-    J_d = nlp.eval_jac_d(x)
-    y_c, y_d = least_squares_y(nlp, x, s, grad_f, J_c, J_d, z_L, z_U, v_L, v_U,
-                               opts.constr_mult_init_max)
+    if getattr(nlp, "chain", None) is not None:
+        # Structured backends skip the dense least-squares multiplier estimate
+        # (a structured lsq via the BTD system is a later refinement); Ipopt's
+        # fallback when ||y_lsq|| > constr_mult_init_max is y = 0 anyway.
+        y_c = jnp.zeros((nlp.struct.me,), x.dtype)
+        y_d = jnp.zeros((nlp.struct.mi,), x.dtype)
+    else:
+        grad_f = nlp.eval_grad_f(x)
+        J_c = nlp.eval_jac_c(x)
+        J_d = nlp.eval_jac_d(x)
+        y_c, y_d = least_squares_y(nlp, x, s, grad_f, J_c, J_d, z_L, z_U,
+                                   v_L, v_U, opts.constr_mult_init_max)
     return Iterate(x=x, s=s, y_c=y_c, y_d=y_d, z_L=z_L, z_U=z_U,
                    v_L=v_L, v_U=v_U)
 

@@ -182,7 +182,14 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         jnp.max(jnp.abs(res0.d_minus_s), initial=0.0))
     compl_fn = _compl_max_fn(nlp, it, s_c)
     # --- UpdateHessian (Exact | LimMemQuasiNewton, IpIpoptAlg.cpp:351) ----
-    if opts.hessian_approximation == "limited-memory":
+    if nlp.chain is not None:
+        from ..chained import stage_hessians
+        if opts.hessian_approximation == "limited-memory":
+            raise NotImplementedError(
+                "limited-memory Hessian with the chained KKT backend "
+                "(block-diagonal L-BFGS) is not implemented yet")
+        W = stage_hessians(nlp, it.x, it.y_c, it.y_d)
+    elif opts.hessian_approximation == "limited-memory":
         from .quasi_newton import lbfgs_dense_W
         W = lbfgs_dense_W(st.lbfgs)
     else:
@@ -194,17 +201,18 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         # One factorization serves the affine solve, the centering solve, and
         # the final step: rhs(mu) = rhs(0) + mu * drhs is affine in mu, and so
         # is the bound-multiplier recovery.
-        from .step import (factorize_kkt, solve_with_refinement,
-                           direction_from_solution)
-        from ..kkt import condensed_rhs as _crhs
-        fr = factorize_kkt(nlp, opts, it, ev, W, st.mu, st.delta_w_last)
-        rhs0 = _crhs(nlp, it, ev, 0.0, opts.kappa_d)
-        drhs = _crhs(nlp, it, ev, 1.0, opts.kappa_d) - rhs0
-        sol_aff, rr_a = solve_with_refinement(fr.K, fr.fac, rhs0, opts)
-        sol_cent, _ = solve_with_refinement(fr.K, fr.fac, drhs, opts)
-        step_aff = direction_from_solution(nlp, it, sol_aff, 0.0, fr.failed)
-        step_at1 = direction_from_solution(nlp, it, sol_aff + sol_cent, 1.0,
-                                           fr.failed)
+        from .step import factorize_any, solve_any, direction_from_parts
+        from ..kkt import condensed_rhs_parts as _crhsp
+        fr = factorize_any(nlp, opts, it, ev, W, st.mu, st.delta_w_last)
+        parts0 = _crhsp(nlp, it, ev, 0.0, opts.kappa_d)
+        parts1 = _crhsp(nlp, it, ev, 1.0, opts.kappa_d)
+        dparts = jax.tree.map(lambda a, b: b - a, parts0, parts1)
+        split_aff, rr_a = solve_any(nlp, opts, fr.fac, fr.K, parts0)
+        split_cent, _ = solve_any(nlp, opts, fr.fac, fr.K, dparts)
+        step_aff = direction_from_parts(nlp, it, split_aff, 0.0, fr.failed)
+        step_at1 = direction_from_parts(
+            nlp, it, jax.tree.map(lambda a, b: a + b, split_aff, split_cent),
+            1.0, fr.failed)
         step_cent = jax.tree.map(lambda a, b: b - a, step_aff, step_at1)
 
         oracle = "probing" if opts.mehrotra_algorithm else opts.mu_oracle
@@ -270,6 +278,10 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     # Unconstrained problems cannot be infeasible — the restoration NLP would
     # be the original problem; skip tracing the nested solver entirely.
     if enable_resto and nlp.struct.me + nlp.struct.mi == 0:
+        enable_resto = False
+    # Restoration for the chained backend (a chained resto NLP with p/n slots
+    # widening each stage block) is a later milestone.
+    if enable_resto and nlp.chain is not None:
         enable_resto = False
 
     if enable_resto:
@@ -455,8 +467,11 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     opts = options or Options()
     if option_kwargs:
         opts = opts.replace(**option_kwargs)
+    from ..chained import ChainedNLP, canonicalize_chained
     if isinstance(problem, NLP):
         cnlp = canonicalize(problem, opts)
+    elif isinstance(problem, ChainedNLP):
+        cnlp = canonicalize_chained(problem, opts)
     else:
         cnlp = problem
     if opts.derivative_test != "none":

@@ -30,7 +30,8 @@ from ..types import Iterate
 from ..problem import CanonicalNLP
 from ..options import Options
 from ..kkt import (Evals, SigmaBlocks, sigmas, assemble_aug_system,
-                   condensed_rhs, split_aug_solution, recover_bound_mult_steps)
+                   condensed_rhs, condensed_rhs_parts, split_aug_solution,
+                   recover_bound_mult_steps)
 from ..linalg.ldlt import ldlt, ldlt_blocked, ldlt_solve, LDLTResult
 
 
@@ -176,13 +177,48 @@ def direction_from_solution(nlp: CanonicalNLP, it: Iterate, sol, mu, failed):
     return jax.tree.map(lambda v: jnp.where(failed, jnp.zeros_like(v), v), step)
 
 
+def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
+                  hess, mu, delta_w_last):
+    """Backend dispatch: dense LDL^T or chained block-tridiagonal BCR.
+
+    ``hess`` is backend-shaped: dense (n, n) W, or the (Wd, Wo) stage blocks.
+    """
+    if getattr(nlp, "chain", None) is not None:
+        from .chained_kkt import chained_factorize_kkt
+        from ..chained import stage_jacobians
+        AB = stage_jacobians(nlp, it.x)
+        return chained_factorize_kkt(nlp, opts, it, AB, hess, mu, delta_w_last)
+    return factorize_kkt(nlp, opts, it, ev, hess, mu, delta_w_last)
+
+
+def solve_any(nlp: CanonicalNLP, opts: Options, fac, K, parts):
+    """Solve the factorized augmented system for the four RHS blocks
+    (-r_x, -r_s, -r_c, -r_d); returns ((dx, ds, dy_c, dy_d), residual_ratio)."""
+    if getattr(nlp, "chain", None) is not None:
+        from .chained_kkt import pack_rhs, unpack_sol, chained_solve_refined
+        rhs = pack_rhs(nlp, *parts)
+        sol, rr = chained_solve_refined(K, fac, rhs, opts)
+        return unpack_sol(nlp, sol), rr
+    rhs = jnp.concatenate(parts)
+    sol, rr = solve_with_refinement(K, fac, rhs, opts)
+    return split_aug_solution(sol, nlp.n, nlp.mi, nlp.me), rr
+
+
+def direction_from_parts(nlp: CanonicalNLP, it: Iterate, xsplit, mu, failed):
+    dx, ds, dy_c, dy_d = xsplit
+    dz_L, dz_U, dv_L, dv_U = recover_bound_mult_steps(nlp, it, dx, ds, mu)
+    step = Iterate(x=dx, s=ds, y_c=dy_c, y_d=dy_d,
+                   z_L=dz_L, z_U=dz_U, v_L=dv_L, v_U=dv_U)
+    return jax.tree.map(lambda v: jnp.where(failed, jnp.zeros_like(v), v), step)
+
+
 def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
                              ev: Evals, W, mu, delta_w_last) -> StepResult:
     """Assemble + factorize (with inertia correction) + solve + recover duals."""
-    fr = factorize_kkt(nlp, opts, it, ev, W, mu, delta_w_last)
-    rhs = condensed_rhs(nlp, it, ev, mu, opts.kappa_d)
-    sol, rr = solve_with_refinement(fr.K, fr.fac, rhs, opts)
-    step = direction_from_solution(nlp, it, sol, mu, fr.failed)
+    fr = factorize_any(nlp, opts, it, ev, W, mu, delta_w_last)
+    parts = condensed_rhs_parts(nlp, it, ev, mu, opts.kappa_d)
+    xsplit, rr = solve_any(nlp, opts, fr.fac, fr.K, parts)
+    step = direction_from_parts(nlp, it, xsplit, mu, fr.failed)
     return StepResult(step=step, delta_x=fr.delta_x, delta_c=fr.delta_c,
                       delta_w_last=fr.delta_w_last, failed=fr.failed,
                       num_trials=fr.num_trials, residual_ratio=rr,
@@ -190,7 +226,7 @@ def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
 
 
 def soc_direction(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
-                  fac: LDLTResult, K, mu, c_soc, dms_soc):
+                  fac, K, mu, c_soc, dms_soc):
     """Second-order correction direction: same factorization, constraint parts
     of the rhs replaced by the SOC values (FilterLSAcceptor::
     TrySecondOrderCorrection, IpFilterLSAcceptor.cpp:531, soc_method=0)."""
@@ -198,10 +234,9 @@ def soc_direction(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     r_x = (grad_barrier_x(nlp, it, ev.grad_f, mu, opts.kappa_d)
            + ev.jc_t(it.y_c) + ev.jd_t(it.y_d))
     r_s = grad_barrier_s(nlp, it, mu, opts.kappa_d) - it.y_d
-    rhs = -jnp.concatenate([r_x, r_s, c_soc, dms_soc])
-    sol, _ = solve_with_refinement(K, fac, rhs, opts)
-    n, mi, me = nlp.n, nlp.mi, nlp.me
-    dx, ds, dy_c, dy_d = split_aug_solution(sol, n, mi, me)
+    parts = (-r_x, -r_s, -c_soc, -dms_soc)
+    xsplit, _ = solve_any(nlp, opts, fac, K, parts)
+    dx, ds, dy_c, dy_d = xsplit
     dz_L, dz_U, dv_L, dv_U = recover_bound_mult_steps(nlp, it, dx, ds, mu)
     return Iterate(x=dx, s=ds, y_c=dy_c, y_d=dy_d,
                    z_L=dz_L, z_U=dz_U, v_L=dv_L, v_U=dv_U)

@@ -146,12 +146,44 @@ def canonicalize_chained(cnlp: ChainedNLP,
     info = ChainInfo(K=K, v=v, mk=mk, f_stage=f_stage, g_stage=g_stage,
                      f_last=f_last, eq_mask=eq_mask)
 
-    base = canonicalize(flat, opts)
+    # Scaling is computed here from stage Jacobians (the generic
+    # gradient-based scaling would materialize a dense Jacobian).
+    base = canonicalize(flat, opts.replace(nlp_scaling_method="none"))
     if base.struct.n != Kp1 * v:
         raise ValueError("fixed-variable elimination is not supported for "
                          "chained problems; use fixed_variable_treatment="
                          "'relax_bounds'")
-    return base._replace(chain=info)
+    base = base._replace(chain=info)
+    if opts.nlp_scaling_method == "gradient-based":
+        base = _chained_gradient_scaling(base, opts)
+    return base
+
+
+def _chained_gradient_scaling(nlp: CanonicalNLP, opts: Options) -> CanonicalNLP:
+    """GradientScaling via stage Jacobians (no dense J)."""
+    ch: ChainInfo = nlp.chain
+    s = nlp.struct
+    max_grad = opts.nlp_scaling_max_gradient
+    min_val = opts.nlp_scaling_min_value
+    x0 = nlp.x0
+    dtype = x0.dtype
+
+    gf = nlp.eval_grad_f(x0)
+    gnorm = jnp.max(jnp.abs(gf), initial=0.0)
+    df = jnp.where(gnorm > max_grad, max_grad / gnorm, 1.0)
+    df = jnp.maximum(df, min_val) * opts.obj_scaling_factor
+
+    A, B = stage_jacobians(nlp, x0)  # row_scale is all-ones at this point
+    row_norm = jnp.maximum(jnp.max(jnp.abs(A), axis=2, initial=0.0),
+                           jnp.max(jnp.abs(B), axis=2, initial=0.0)).reshape(-1)
+    dg = jnp.where(row_norm > max_grad, max_grad / row_norm, 1.0)
+    dg = jnp.maximum(dg, min_val)
+    c_scale = dg[jnp.asarray(s.eq_idx)] if s.me else nlp.c_scale
+    d_scale = dg[jnp.asarray(s.ineq_idx)] if s.mi else nlp.d_scale
+    return nlp._replace(
+        obj_scale=jnp.asarray(df, dtype),
+        c_scale=c_scale.astype(dtype), d_scale=d_scale.astype(dtype),
+        d_L=nlp.d_L * d_scale, d_U=nlp.d_U * d_scale)
 
 
 # ---------------------------------------------------------------------------

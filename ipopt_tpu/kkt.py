@@ -51,6 +51,15 @@ class Evals(NamedTuple):
 
 
 def evaluate(nlp: CanonicalNLP, x: jnp.ndarray) -> Evals:
+    if getattr(nlp, "chain", None) is not None:
+        # Structured path: never materialize dense Jacobians — transpose
+        # products via VJP through the stage-structured constraint function.
+        f = nlp.eval_f(x)
+        grad_f = nlp.eval_grad_f(x)
+        c, c_vjp = jax.vjp(nlp.eval_c, x)
+        d, d_vjp = jax.vjp(nlp.eval_d, x)
+        return Evals(f=f, grad_f=grad_f, c=c, d=d, J_c=None, J_d=None,
+                     jc_t=lambda y: c_vjp(y)[0], jd_t=lambda y: d_vjp(y)[0])
     f, grad_f, c, d, J_c, J_d = nlp.eval_all(x)
     return Evals(f=f, grad_f=grad_f, c=c, d=d, J_c=J_c, J_d=J_d,
                  jc_t=lambda y: J_c.T @ y, jd_t=lambda y: J_d.T @ y)
@@ -232,15 +241,21 @@ def assemble_aug_system(W, J_c, J_d, sigma: SigmaBlocks,
     return K
 
 
-def condensed_rhs(nlp: CanonicalNLP, it: Iterate, ev: Evals, mu,
-                  kappa_d=1e-5) -> jnp.ndarray:
-    """RHS of the augmented system: -(r_x, r_s, c, d-s) where r_x/r_s are the
-    barrier-gradient forms after eliminating the bound multipliers
-    (PDFullSpaceSolver's reduction)."""
+def condensed_rhs_parts(nlp: CanonicalNLP, it: Iterate, ev: Evals, mu,
+                        kappa_d=1e-5):
+    """The four (negated) RHS blocks of the augmented system:
+    (-r_x, -r_s, -c, -(d - s)) where r_x/r_s are the barrier-gradient forms
+    after eliminating the bound multipliers (PDFullSpaceSolver's reduction)."""
     r_x = (grad_barrier_x(nlp, it, ev.grad_f, mu, kappa_d)
            + ev.jc_t(it.y_c) + ev.jd_t(it.y_d))
     r_s = grad_barrier_s(nlp, it, mu, kappa_d) - it.y_d
-    return -jnp.concatenate([r_x, r_s, ev.c, ev.d - it.s])
+    return -r_x, -r_s, -ev.c, -(ev.d - it.s)
+
+
+def condensed_rhs(nlp: CanonicalNLP, it: Iterate, ev: Evals, mu,
+                  kappa_d=1e-5) -> jnp.ndarray:
+    """Flat dense-ordering RHS [x, s, y_c, y_d] of the augmented system."""
+    return jnp.concatenate(condensed_rhs_parts(nlp, it, ev, mu, kappa_d))
 
 
 def split_aug_solution(sol, n, mi, me):
