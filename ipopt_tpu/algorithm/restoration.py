@@ -189,7 +189,7 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
     ``active``: when this call sits under a vmapped lax.cond (which lowers to
     select-and-execute-both), inactive lanes pass active=False so the nested
     while_loop exits immediately and costs nothing in lockstep."""
-    from .solver import IPMState, initial_state  # local import, no cycle at module load
+    from .solver import IPMState, initial_state, counters_init  # local import, no cycle at module load
     from .linesearch import filter_init
 
     n, me, mi = orig.struct.n, orig.struct.me, orig.struct.mi
@@ -232,7 +232,8 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
             resto_opts.limited_memory_max_history
             if resto_opts.hessian_approximation == "limited-memory" else 0,
             dtype, resto_opts.limited_memory_init_val),
-        tiny_step_count=jnp.zeros((), jnp.int32))
+        tiny_step_count=jnp.zeros((), jnp.int32),
+        counters=counters_init())
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry
     kappa = opts.required_infeasibility_reduction

@@ -42,6 +42,22 @@ from .init import default_initialize, warm_start_initialize
 from .convergence import check_convergence
 
 
+class Counters(NamedTuple):
+    """Evaluation/factorization counters (SolveStatistics eval counts,
+    IpOrigIpoptNLP.hpp:316-342 + linear-solver call counts)."""
+
+    n_obj_evals: jnp.ndarray        # f and g evaluations (line-search trials)
+    n_grad_evals: jnp.ndarray
+    n_hess_evals: jnp.ndarray
+    n_factorizations: jnp.ndarray   # KKT factorization attempts
+    n_kkt_solves: jnp.ndarray       # backsolves (incl. refinement batches)
+
+
+def counters_init() -> Counters:
+    z = jnp.zeros((), jnp.int32)
+    return Counters(z, z, z, z, z)
+
+
 class IPMState(NamedTuple):
     it: Iterate
     mu: jnp.ndarray
@@ -63,6 +79,7 @@ class IPMState(NamedTuple):
     ams: AdaptiveMuState
     lbfgs: Any  # LBFGSState (zero-width history when hessian is exact)
     tiny_step_count: jnp.ndarray
+    counters: Counters
 
 
 class SolveResult(NamedTuple):
@@ -82,6 +99,8 @@ class SolveResult(NamedTuple):
     compl_inf: Any
     E_scaled: Any
     iterate: Any           # final internal Iterate (for warm starts)
+    counters: Any          # Counters (eval/factorization counts)
+    restoration_count: Any
 
 
 def _compl_max_fn(nlp: CanonicalNLP, it: Iterate, s_c):
@@ -355,7 +374,14 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         last_alpha_pr=ls.alpha_primal, last_alpha_du=ls.alpha_dual,
         last_ls_count=ls.n_backtracks, last_delta_x=sr.delta_x,
         last_step_norm=step_norm, restoration_count=resto_count, ams=ams,
-        lbfgs=lbfgs, tiny_step_count=tiny_count)
+        lbfgs=lbfgs, tiny_step_count=tiny_count,
+        counters=Counters(
+            n_obj_evals=st.counters.n_obj_evals + 1 + ls.n_backtracks,
+            n_grad_evals=st.counters.n_grad_evals + 2,
+            n_hess_evals=st.counters.n_hess_evals + 1,
+            n_factorizations=st.counters.n_factorizations + sr.num_trials,
+            n_kkt_solves=st.counters.n_kkt_solves + 1
+            + jnp.where(ls.used_soc, opts.max_soc, 0)))
 
 
 def initial_state(nlp: CanonicalNLP, opts: Options,
@@ -389,7 +415,8 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
             opts.limited_memory_max_history
             if opts.hessian_approximation == "limited-memory" else 0,
             dtype, opts.limited_memory_init_val),
-        tiny_step_count=jnp.zeros((), jnp.int32))
+        tiny_step_count=jnp.zeros((), jnp.int32),
+        counters=counters_init())
 
 
 def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
@@ -445,7 +472,8 @@ def finalize(nlp: CanonicalNLP, opts: Options, st: IPMState) -> SolveResult:
         x=x_user, obj=ev.f / nlp.obj_scale, status=st.status,
         iter_count=st.iter_count, mu=st.mu, g=g, y=y, z_L=zl_full, z_U=zu_full,
         dual_inf=d_inf, primal_inf=p_inf, compl_inf=c_inf, E_scaled=E,
-        iterate=it)
+        iterate=it, counters=st.counters,
+        restoration_count=st.restoration_count)
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -487,6 +515,23 @@ def solve(problem, options: Optional[Options] = None, it0=None,
                 print("  " + line)
     if opts.print_level >= 5:
         _print_header()
+    if opts.timing_statistics:
+        import time as _time
+        t0 = _time.perf_counter()
+        res = _solve_canonical(cnlp, opts, it0)
+        jax.block_until_ready(res.x)
+        wall = _time.perf_counter() - t0
+        if opts.print_level > 0:
+            it_n = max(int(res.iter_count), 1)
+            print(f"OverallAlgorithm....................: {wall:10.3f} (wall)")
+            print(f"  per iteration.....................: {wall / it_n:10.4f}")
+            c = res.counters
+            print(f"Function evaluations (f,g)..........: {int(c.n_obj_evals)}")
+            print(f"Gradient evaluations................: {int(c.n_grad_evals)}")
+            print(f"Hessian evaluations.................: {int(c.n_hess_evals)}")
+            print(f"KKT factorizations..................: {int(c.n_factorizations)}")
+            print(f"KKT backsolve batches...............: {int(c.n_kkt_solves)}")
+        return res
     return _solve_canonical(cnlp, opts, it0)
 
 
