@@ -153,8 +153,17 @@ def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
     from jax import lax
     dtype = it.x.dtype
     exp_pos, exp_neg = expected_inertia(nlp)
-    delta_cd = (opts.jacobian_regularization_value
-                * mu ** opts.jacobian_regularization_exponent)
+    # Block elimination without pivoting requires every *diagonal block* to be
+    # invertible, which — unlike for the full KKT — is not implied by a
+    # full-rank Jacobian (a constraint row whose in-block entries vanish makes
+    # the block singular while the couplings keep the full system fine).  The
+    # structured backends therefore always run dual-regularized: delta_c is
+    # floored at jacobian_regularization_value (the "perturb_always_cd"
+    # regime), which keeps each block quasi-definite.
+    delta_cd = jnp.maximum(
+        opts.jacobian_regularization_value
+        * mu ** opts.jacobian_regularization_exponent,
+        opts.jacobian_regularization_value)
 
     def factor(delta_x, delta_c):
         Kbtd = assemble_btd(nlp, it, AB, Wblocks, delta_x, delta_c)
@@ -165,7 +174,7 @@ def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
         return Kbtd, fac, ok
 
     zero = jnp.zeros((), dtype)
-    dc0 = jnp.where(opts.perturb_always_cd, delta_cd, 0.0)
+    dc0 = delta_cd * jnp.ones((), dtype)
     K0, fac0, ok0 = factor(zero, dc0)
 
     def cond(carry):
@@ -177,9 +186,13 @@ def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
     def body(carry):
         trial, dxv, dcv, Kb, fac, ok, gave_up = carry
         was_singular = fac.singular
-        only_dc = jnp.logical_and(was_singular, dcv == 0)
-        new_dc = jnp.where(jnp.logical_or(was_singular, dcv > 0),
-                           jnp.maximum(dcv, delta_cd), dcv)
+        only_dc = jnp.logical_and(was_singular, dcv <= delta_cd)
+        # On repeated singularity escalate delta_c too (the block-elimination
+        # analogue of MA27's pivot-tolerance IncreaseQuality escalation).
+        new_dc = jnp.where(was_singular,
+                           jnp.minimum(jnp.maximum(dcv * 100.0, delta_cd),
+                                       1e-4),
+                           dcv)
         first_try = (dxv == 0)
         start_val = jnp.where(delta_w_last == 0,
                               opts.first_hessian_perturbation,

@@ -201,18 +201,16 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         jnp.max(jnp.abs(res0.d_minus_s), initial=0.0))
     compl_fn = _compl_max_fn(nlp, it, s_c)
     # --- UpdateHessian (Exact | LimMemQuasiNewton, IpIpoptAlg.cpp:351) ----
-    if nlp.chain is not None:
-        from ..chained import stage_hessians
-        if opts.hessian_approximation == "limited-memory":
+    if opts.hessian_approximation == "limited-memory":
+        if nlp.chain is not None:
             raise NotImplementedError(
-                "limited-memory Hessian with the chained KKT backend "
+                "limited-memory Hessian with structured KKT backends "
                 "(block-diagonal L-BFGS) is not implemented yet")
-        W = stage_hessians(nlp, it.x, it.y_c, it.y_d)
-    elif opts.hessian_approximation == "limited-memory":
         from .quasi_newton import lbfgs_dense_W
         W = lbfgs_dense_W(st.lbfgs)
     else:
-        W = nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
+        from .step import compute_hessian
+        W = compute_hessian(nlp, it)
     ams = st.ams
 
     if opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm:
@@ -496,10 +494,13 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     if option_kwargs:
         opts = opts.replace(**option_kwargs)
     from ..chained import ChainedNLP, canonicalize_chained
+    from ..parallel.scenario import ScenarioNLP, canonicalize_scenario
     if isinstance(problem, NLP):
         cnlp = canonicalize(problem, opts)
     elif isinstance(problem, ChainedNLP):
         cnlp = canonicalize_chained(problem, opts)
+    elif isinstance(problem, ScenarioNLP):
+        cnlp = canonicalize_scenario(problem, opts)
     else:
         cnlp = problem
     if opts.derivative_test != "none":

@@ -177,28 +177,63 @@ def direction_from_solution(nlp: CanonicalNLP, it: Iterate, sol, mu, failed):
     return jax.tree.map(lambda v: jnp.where(failed, jnp.zeros_like(v), v), step)
 
 
+def _backend(nlp: CanonicalNLP) -> str:
+    info = getattr(nlp, "chain", None)
+    if info is None:
+        return "dense"
+    from ..parallel.scenario import ArrowInfo
+    return "arrow" if isinstance(info, ArrowInfo) else "btd"
+
+
+def compute_hessian(nlp: CanonicalNLP, it: Iterate):
+    """Backend-shaped Lagrangian Hessian at the current iterate."""
+    be = _backend(nlp)
+    if be == "btd":
+        from ..chained import stage_hessians
+        return stage_hessians(nlp, it.x, it.y_c, it.y_d)
+    if be == "arrow":
+        from ..parallel.scenario import scenario_hessians
+        return scenario_hessians(nlp, it.x, it.y_c, it.y_d)
+    return nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
+
+
 def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
                   hess, mu, delta_w_last):
-    """Backend dispatch: dense LDL^T or chained block-tridiagonal BCR.
+    """Backend dispatch: dense LDL^T, chained block-tridiagonal BCR, or
+    scenario block-arrow Schur.
 
-    ``hess`` is backend-shaped: dense (n, n) W, or the (Wd, Wo) stage blocks.
+    ``hess`` is backend-shaped: dense (n, n) W, (Wd, Wo) stage blocks, or
+    (W00, W0s, Wss) arrow blocks.
     """
-    if getattr(nlp, "chain", None) is not None:
+    be = _backend(nlp)
+    if be == "btd":
         from .chained_kkt import chained_factorize_kkt
         from ..chained import stage_jacobians
         AB = stage_jacobians(nlp, it.x)
         return chained_factorize_kkt(nlp, opts, it, AB, hess, mu, delta_w_last)
+    if be == "arrow":
+        from .arrow_kkt import arrow_factorize_kkt
+        from ..parallel.scenario import scenario_jacobians
+        Jb = scenario_jacobians(nlp, it.x)
+        return arrow_factorize_kkt(nlp, opts, it, Jb, hess, mu, delta_w_last)
     return factorize_kkt(nlp, opts, it, ev, hess, mu, delta_w_last)
 
 
 def solve_any(nlp: CanonicalNLP, opts: Options, fac, K, parts):
     """Solve the factorized augmented system for the four RHS blocks
     (-r_x, -r_s, -r_c, -r_d); returns ((dx, ds, dy_c, dy_d), residual_ratio)."""
-    if getattr(nlp, "chain", None) is not None:
+    be = _backend(nlp)
+    if be == "btd":
         from .chained_kkt import pack_rhs, unpack_sol, chained_solve_refined
         rhs = pack_rhs(nlp, *parts)
         sol, rr = chained_solve_refined(K, fac, rhs, opts)
         return unpack_sol(nlp, sol), rr
+    if be == "arrow":
+        from .arrow_kkt import (pack_rhs_arrow, unpack_sol_arrow,
+                                arrow_solve_refined)
+        r0, rs = pack_rhs_arrow(nlp, *parts)
+        (w0, ws), rr = arrow_solve_refined(K, fac, r0, rs, opts)
+        return unpack_sol_arrow(nlp, w0, ws), rr
     rhs = jnp.concatenate(parts)
     sol, rr = solve_with_refinement(K, fac, rhs, opts)
     return split_aug_solution(sol, nlp.n, nlp.mi, nlp.me), rr

@@ -61,8 +61,11 @@ def luksan_vlcek1(n: int, v: int = 2) -> ChainedNLP:
         return rosen(xK)
 
     def g_stage(xk, xk1, theta):
-        # constraints with leading index j in group k: need x_j, x_j+1, x_j+2
-        w = jnp.concatenate([xk, xk1[:2]])
+        # rows with leading index j = k*v + i, i = 0..2v-3: uses the whole
+        # 2v-wide window.  Stage k *owns* rows i < v; the last stage also owns
+        # the tail rows up to leading index n-3 (the remaining window rows are
+        # freed via +-inf bounds below).
+        w = jnp.concatenate([xk, xk1])
         a = w[:-2]
         b = w[1:-1]
         c = w[2:]
@@ -70,17 +73,14 @@ def luksan_vlcek1(n: int, v: int = 2) -> ChainedNLP:
                 + jnp.sin(b - c) * jnp.sin(b + c)
                 + 4.0 * b - a * jnp.exp(a - b) - 3.0)
 
-    # stage k supplies v constraints (leading indices k*v .. k*v+v-1); the
-    # true problem has m = n-2 constraints, so the final 2 rows of the last
-    # stage are padding -> mark them free (inequality with no bounds).
-    mk = v
+    mk = 2 * v - 2
     g_L = np.zeros((K, mk))
     g_U = np.zeros((K, mk))
-    # padding rows: leading index j >= n-2
     for k in range(K):
         for i in range(mk):
             j = k * v + i
-            if j >= n - 2:
+            owned = (i < v) or (k == K - 1 and j <= n - 3)
+            if not owned or j > n - 3:
                 g_L[k, i] = -np.inf
                 g_U[k, i] = np.inf
 

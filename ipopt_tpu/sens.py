@@ -56,12 +56,9 @@ def _residual_parts(nlp: CanonicalNLP, opts: Options, it: Iterate, mu):
 
 
 def _factorize_at(nlp: CanonicalNLP, opts: Options, it: Iterate, mu):
+    from .algorithm.step import compute_hessian
     ev = evaluate(nlp, it.x)
-    if nlp.chain is not None:
-        from .chained import stage_hessians
-        hess = stage_hessians(nlp, it.x, it.y_c, it.y_d)
-    else:
-        hess = nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
+    hess = compute_hessian(nlp, it)
     zero = jnp.zeros((), it.x.dtype)
     return factorize_any(nlp, opts, it, ev, hess, mu, zero)
 
