@@ -96,8 +96,27 @@ def assemble_arrow(nlp: CanonicalNLP, it: Iterate, Jblocks, Wblocks,
     return ArrowMatrix(Ks=Ks, Cs=Cs, K0=K0)
 
 
-def arrow_factorize(K: ArrowMatrix, pivot_tol: float = 0.0) -> ArrowFactor:
-    facs = jax.vmap(lambda A: ldlt(A, pivot_tol))(K.Ks)
+def arrow_factorize(K: ArrowMatrix, pivot_tol: float = 0.0,
+                    use_pallas: bool = False) -> ArrowFactor:
+    from ..linalg.block_tridiag import batched_block_ldlt
+    dtype = K.Ks.dtype
+    Ls, ds = batched_block_ldlt(K.Ks, use_pallas)
+    # per-block inertia from the pivots
+    scale = jnp.maximum(jnp.max(jnp.abs(ds), axis=1, keepdims=True), 1.0)
+    base = pivot_tol if pivot_tol > 0 else jnp.finfo(dtype).eps
+    is_zero = jnp.abs(ds) <= base * scale
+    blk_pos = jnp.sum(jnp.logical_and(~is_zero, ds > 0), axis=1)
+    blk_neg = jnp.sum(jnp.logical_and(~is_zero, ds < 0), axis=1)
+    blk_zer = jnp.sum(is_zero, axis=1)
+
+    class _F:  # adapter matching the previous vmapped-LDLTResult fields
+        L = Ls
+        d = ds
+        num_pos = blk_pos
+        num_neg = blk_neg
+        num_zero = blk_zer
+
+    facs = _F()
     Yc = jax.vmap(_solve_blk)(facs.L, facs.d, K.Cs)
     # Schur complement (the einsum's scenario-axis sum lowers to a psum when
     # the S axis is sharded over the mesh).
@@ -206,7 +225,8 @@ def arrow_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
 
     def factor(dxv, dcv):
         Kb = assemble_arrow(nlp, it, Jblocks, Wblocks, dxv, dcv)
-        fac = arrow_factorize(Kb, pivot_tol=opts.ldlt_pivot_tol)
+        fac = arrow_factorize(Kb, pivot_tol=opts.ldlt_pivot_tol,
+                              use_pallas=opts.use_pallas)
         ok = jnp.logical_and(
             jnp.logical_and(fac.num_pos == exp_pos, fac.num_neg == exp_neg),
             jnp.logical_not(fac.singular))

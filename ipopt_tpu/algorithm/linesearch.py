@@ -219,12 +219,6 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         it_t, f_t, c_t, d_t, theta_t, phi_t = eval_trial(alpha)
         acc, isf = acceptable(alpha, theta_t, phi_t)
 
-        # SOC attempt: only on the *first* trial, when rejected and the
-        # constraint violation did not improve (A-5.7 trigger).
-        do_soc = jnp.logical_and(
-            jnp.logical_and(cy.k == 0, jnp.logical_not(acc)),
-            jnp.logical_and(theta_t >= theta, opts.max_soc > 0))
-
         def with_soc(_):
             s_acc, s_ftype, s_it, s_f, s_c, s_d = try_soc(alpha, c_t, d_t, it_t.s)
             return s_acc, s_ftype, s_it, s_f, s_c, s_d
@@ -232,8 +226,16 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         def without_soc(_):
             return (jnp.zeros((), bool), jnp.zeros((), bool), it_t, f_t, c_t, d_t)
 
-        s_acc, s_ftype, s_it, s_f, s_c, s_d = lax.cond(
-            do_soc, with_soc, without_soc, None)
+        if opts.max_soc > 0:
+            # SOC attempt: only on the *first* trial, when rejected and the
+            # constraint violation did not improve (A-5.7 trigger).
+            do_soc = jnp.logical_and(
+                jnp.logical_and(cy.k == 0, jnp.logical_not(acc)),
+                theta_t >= theta)
+            s_acc, s_ftype, s_it, s_f, s_c, s_d = lax.cond(
+                do_soc, with_soc, without_soc, None)
+        else:
+            s_acc, s_ftype, s_it, s_f, s_c, s_d = without_soc(None)
 
         final_acc = jnp.logical_or(acc, s_acc)
         pick_soc = jnp.logical_and(s_acc, jnp.logical_not(acc))

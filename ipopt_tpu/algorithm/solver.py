@@ -208,10 +208,16 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                 "(block-diagonal L-BFGS) is not implemented yet")
         from .quasi_newton import lbfgs_dense_W
         W = lbfgs_dense_W(st.lbfgs)
+    elif opts.linear_solver == "minres":
+        W = None  # matrix-free: Hessian only ever appears as HVPs
     else:
         from .step import compute_hessian
         W = compute_hessian(nlp, it)
     ams = st.ams
+    if opts.linear_solver == "minres" and (opts.mu_strategy == "adaptive"
+                                           or opts.mehrotra_algorithm):
+        raise NotImplementedError("adaptive mu with linear_solver='minres' "
+                                  "is not supported yet")
 
     if opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm:
         # Free-mode mu from an oracle each iteration (AdaptiveMuUpdate).
@@ -254,8 +260,12 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         ms = monotone_mu_update_components(
             opts, MuState(st.mu, st.tau), dual_inf / s_d, primal_inf, compl_fn)
         mu, tau = ms.mu, ms.tau
-        sr = compute_search_direction(nlp, opts, it, ev, W, mu,
-                                      st.delta_w_last)
+        if opts.linear_solver == "minres":
+            from .matrix_free import mf_search_direction
+            sr = mf_search_direction(nlp, opts, it, ev, mu, st.delta_w_last)
+        else:
+            sr = compute_search_direction(nlp, opts, it, ev, W, mu,
+                                          st.delta_w_last)
 
     # --- Tiny-step detection (BacktrackingLineSearch tiny_step_tol) -------
     # When the scaled step is at machine-precision level, further progress is
@@ -493,6 +503,9 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     opts = options or Options()
     if option_kwargs:
         opts = opts.replace(**option_kwargs)
+    if opts.linear_solver == "minres":
+        # no saved factorization to reuse for second-order corrections
+        opts = opts.replace(max_soc=0)
     from ..chained import ChainedNLP, canonicalize_chained
     from ..parallel.scenario import ScenarioNLP, canonicalize_scenario
     if isinstance(problem, NLP):

@@ -222,7 +222,8 @@ class Options:
     # ---- Linear solver / step computation (IpPDFullSpaceSolver.cpp) ----
     linear_solver: str = _opt("dense-ldlt", "Linear Solver",
                               "KKT factorization backend (TPU-native).",
-                              choices=("dense-ldlt", "dense-ldlt-blocked", "condensed-cholesky"))
+                              choices=("dense-ldlt", "dense-ldlt-blocked",
+                                       "condensed-cholesky", "minres"))
     min_refinement_steps: int = _opt(1, "Linear Solver", "Min iterative refinement steps.", 0)
     max_refinement_steps: int = _opt(10, "Linear Solver", "Max iterative refinement steps.", 0)
     residual_ratio_max: float = _opt(1e-10, "Linear Solver", "Acceptable residual ratio.", 0.0, lower_strict=True)
@@ -272,7 +273,8 @@ class Options:
     factorization_dtype: str = _opt("", "TPU", "Dtype for KKT factorization ('' = same as dtype).",
                                     choices=("", "float32", "float64"))
     kkt_block_size: int = _opt(128, "TPU", "Block size for blocked/Pallas factorizations.", 8)
-    use_pallas: bool = _opt(False, "TPU", "Use Pallas kernels where available.")
+    use_pallas: bool = _opt(True, "TPU", "Use Pallas kernels where available "
+                            "(auto-disabled off-TPU).")
 
     # ------------------------------------------------------------------
     def __post_init__(self):
