@@ -186,3 +186,120 @@ KNOWN_OPTIMA = {
     "hs076": -4.681818181,
     "hs100": 680.6300573,
 }
+
+
+def hs002():
+    """Rosenbrock with x2 >= 1.5 (local solution)."""
+    return NLP(
+        name="hs002",
+        f=lambda x: 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2,
+        x_L=jnp.array([-jnp.inf, 1.5]),
+        x0=jnp.array([-2.0, 1.0]))
+
+
+def hs003():
+    return NLP(
+        name="hs003",
+        f=lambda x: x[1] + 1e-5 * (x[1] - x[0]) ** 2,
+        x_L=jnp.array([-jnp.inf, 0.0]),
+        x0=jnp.array([10.0, 1.0]))  # f* = 0
+
+
+def hs004():
+    return NLP(
+        name="hs004",
+        f=lambda x: (x[0] + 1.0) ** 3 / 3.0 + x[1],
+        x_L=jnp.array([1.0, 0.0]),
+        x0=jnp.array([1.125, 0.15]))  # f* = 8/3
+
+
+def hs005():
+    return NLP(
+        name="hs005",
+        f=lambda x: (jnp.sin(x[0] + x[1]) + (x[0] - x[1]) ** 2
+                     - 1.5 * x[0] + 2.5 * x[1] + 1.0),
+        x_L=jnp.array([-1.5, -3.0]), x_U=jnp.array([4.0, 3.0]),
+        x0=jnp.array([0.0, 0.0]))  # f* = -(sqrt(3)/2 + pi/3)
+
+
+def hs010():
+    return NLP(
+        name="hs010",
+        f=lambda x: x[0] - x[1],
+        g=lambda x: jnp.array([-3.0 * x[0] ** 2 + 2.0 * x[0] * x[1]
+                               - x[1] ** 2 + 1.0]),
+        g_L=jnp.array([0.0]), g_U=jnp.array([jnp.inf]),
+        x0=jnp.array([-10.0, 10.0]))  # f* = -1
+
+
+def hs011():
+    return NLP(
+        name="hs011",
+        f=lambda x: (x[0] - 5.0) ** 2 + x[1] ** 2 - 25.0,
+        g=lambda x: jnp.array([-x[0] ** 2 + x[1]]),
+        g_L=jnp.array([0.0]), g_U=jnp.array([jnp.inf]),
+        x0=jnp.array([4.9, 0.1]))  # f* = -8.498464223
+
+
+def hs014():
+    return NLP(
+        name="hs014",
+        f=lambda x: (x[0] - 2.0) ** 2 + (x[1] - 1.0) ** 2,
+        g=lambda x: jnp.array([
+            x[0] - 2.0 * x[1] + 1.0,
+            -0.25 * x[0] ** 2 - x[1] ** 2 + 1.0]),
+        g_L=jnp.array([0.0, 0.0]), g_U=jnp.array([0.0, jnp.inf]),
+        x0=jnp.array([2.0, 2.0]))  # f* = 9/8*(sqrt(7)-1)^2... ~1.3934649
+
+
+def hs033():
+    return NLP(
+        name="hs033",
+        f=lambda x: (x[0] - 1.0) * (x[0] - 2.0) * (x[0] - 3.0) + x[2],
+        g=lambda x: jnp.array([
+            x[2] ** 2 - x[1] ** 2 - x[0] ** 2,
+            x[0] ** 2 + x[1] ** 2 + x[2] ** 2 - 4.0]),
+        g_L=jnp.array([0.0, 0.0]), g_U=jnp.array([jnp.inf, jnp.inf]),
+        x_L=0.0, x_U=jnp.array([jnp.inf, jnp.inf, 5.0]),
+        x0=jnp.array([0.0, 0.0, 3.0]))  # f* = sqrt(2) - 6
+
+
+def hs048():
+    return NLP(
+        name="hs048",
+        f=lambda x: ((x[0] - 1.0) ** 2 + (x[1] - x[2]) ** 2
+                     + (x[3] - x[4]) ** 2),
+        g=lambda x: jnp.array([
+            x[0] + x[1] + x[2] + x[3] + x[4] - 5.0,
+            x[2] - 2.0 * (x[3] + x[4]) + 3.0]),
+        g_L=jnp.zeros(2), g_U=jnp.zeros(2),
+        x0=jnp.array([3.0, 5.0, -3.0, 2.0, -2.0]))  # f* = 0
+
+
+def hs110():
+    """Bounds-only with logs; f* ~ -45.77846971."""
+    return NLP(
+        name="hs110",
+        f=lambda x: (jnp.sum(jnp.log(x - 2.0) ** 2 + jnp.log(10.0 - x) ** 2)
+                     - jnp.prod(x) ** 0.2),
+        x_L=2.001, x_U=9.999,
+        x0=jnp.full(10, 9.0))
+
+
+ROBUSTNESS_SET = [hs002, hs003, hs004, hs005, hs010, hs011, hs014, hs033,
+                  hs048, hs110]
+
+KNOWN_OPTIMA.update({
+    "hs002": 0.0504261879,
+    "hs003": 0.0,
+    "hs004": 8.0 / 3.0,
+    "hs005": -(np.sqrt(3.0) / 2.0 + np.pi / 3.0),
+    "hs010": -1.0,
+    "hs011": -8.498464223,
+    # x* = ((sqrt(7)-1)/2, (sqrt(7)+1)/4)
+    "hs014": (np.sqrt(7.0) / 2.0 - 0.5 - 2.0) ** 2
+             + (np.sqrt(7.0) / 4.0 + 0.25 - 1.0) ** 2,
+    "hs033": np.sqrt(2.0) - 6.0,
+    "hs048": 0.0,
+    "hs110": -45.77846971,
+})
