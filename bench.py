@@ -9,12 +9,21 @@ processes" pattern the batch mode replaces; reference CPU Ipopt+MA57 numbers
 land in a later round once the reference is built locally).
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: TPU compiles go through a remote tunnel here
+# and dominate wall time; cache them across bench runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def main():

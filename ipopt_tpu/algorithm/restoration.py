@@ -233,6 +233,10 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
             if resto_opts.hessian_approximation == "limited-memory" else 0,
             dtype, resto_opts.limited_memory_init_val),
         tiny_step_count=jnp.zeros((), jnp.int32),
+        wd_active=jnp.zeros((), bool), wd_trials=jnp.zeros((), jnp.int32),
+        wd_shortened_count=jnp.zeros((), jnp.int32), wd_ref=it_r,
+        wd_ref_theta=jnp.asarray(jnp.inf, dtype),
+        wd_ref_phi=jnp.asarray(jnp.inf, dtype),
         counters=counters_init())
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry

@@ -80,6 +80,16 @@ class IPMState(NamedTuple):
     lbfgs: Any  # LBFGSState (zero-width history when hessian is exact)
     tiny_step_count: jnp.ndarray
     counters: Counters
+    # Watchdog (IpBacktrackingLineSearch Start/StopWatchDog): after
+    # watchdog_shortened_iter_trigger consecutive shortened steps, take full
+    # steps on trust for up to watchdog_trial_iter_max iterations; restore the
+    # reference iterate if no trial becomes acceptable w.r.t. it.
+    wd_active: jnp.ndarray
+    wd_trials: jnp.ndarray
+    wd_shortened_count: jnp.ndarray
+    wd_ref: Iterate
+    wd_ref_theta: jnp.ndarray
+    wd_ref_phi: jnp.ndarray
 
 
 class SolveResult(NamedTuple):
@@ -285,13 +295,48 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
                      st.theta_min, st.theta_max)
 
+    # --- Watchdog (Start/StopWatchDog, IpBacktrackingLineSearch) ----------
+    # In watchdog mode the full fraction-to-boundary step is taken on trust;
+    # the trial must become acceptable w.r.t. the stored reference point
+    # within watchdog_trial_iter_max iterations, else the reference iterate
+    # is restored and a regular search resumes from it.
+    from ..kkt import fraction_to_boundary as _ftb
+    a_pr_max, a_du_max = _ftb(nlp, it, sr.step, tau)
+    wd_trial = jax.tree.map(lambda c, d, ap=a_pr_max, ad=a_du_max: c + ap * d,
+                            it, sr.step)
+    wd_trial = wd_trial._replace(
+        z_L=it.z_L + a_du_max * sr.step.z_L,
+        z_U=it.z_U + a_du_max * sr.step.z_U,
+        v_L=it.v_L + a_du_max * sr.step.v_L,
+        v_U=it.v_U + a_du_max * sr.step.v_U)
+    wd_f = nlp.eval_f(wd_trial.x)
+    wd_c = nlp.eval_c(wd_trial.x)
+    wd_d = nlp.eval_d(wd_trial.x)
+    wd_theta = jnp.sum(jnp.abs(wd_c)) + jnp.sum(jnp.abs(wd_d - wd_trial.s))
+    from ..kkt import barrier_obj as _bobj
+    wd_phi = _bobj(nlp, wd_trial, wd_f, mu, opts.kappa_d)
+    wd_ok = jnp.logical_or(
+        wd_theta <= (1.0 - opts.gamma_theta) * st.wd_ref_theta,
+        wd_phi <= st.wd_ref_phi - opts.gamma_phi * st.wd_ref_theta)
+    wd_exhausted = st.wd_trials + 1 >= opts.watchdog_trial_iter_max
+    in_wd = jnp.logical_and(st.wd_active, jnp.logical_not(sr.failed))
+
     # --- AcceptTrialPoint -------------------------------------------------
     accepted = jnp.logical_and(ls.accepted, jnp.logical_not(sr.failed))
     # A tiny step is "accepted" as-is (full fraction-to-boundary step) so the
     # algorithm doesn't fall into restoration from a converged-to-roundoff
     # point (IpBacktrackingLineSearch.cpp tiny-step handling).
     accepted = jnp.logical_or(accepted, is_tiny)
+    # Watchdog overrides: take the full step on trust, or restore reference.
+    wd_restore = jnp.logical_and(in_wd,
+                                 jnp.logical_and(jnp.logical_not(wd_ok),
+                                                 wd_exhausted))
+    accepted = jnp.logical_or(accepted, in_wd)
     new_it = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), it, ls.trial)
+    # watchdog mode: the trusted full step (or the restored reference point)
+    new_it = jax.tree.map(lambda a, b: jnp.where(in_wd, b, a), new_it, wd_trial)
+    new_it = jax.tree.map(lambda a, b: jnp.where(wd_restore, b, a),
+                          new_it, st.wd_ref)
     new_it = _kappa_sigma_clip(nlp, new_it, mu, opts.kappa_sigma)
 
     # --- Fallback: restoration phase (IpIpoptAlg.cpp:384
@@ -352,6 +397,29 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     # --- CheckConvergence at the NEW point --------------------------------
     ev_new = evaluate(nlp, new_it.x)
 
+    # --- Watchdog bookkeeping ---------------------------------------------
+    wd_enabled = opts.watchdog_shortened_iter_trigger > 0
+    shortened = jnp.logical_and(accepted, ls.n_backtracks > 1)
+    new_short_count = jnp.where(
+        jnp.logical_or(in_wd, jnp.logical_not(shortened)),
+        0, st.wd_shortened_count + 1)
+    activate = jnp.logical_and(
+        wd_enabled,
+        jnp.logical_and(jnp.logical_not(in_wd),
+                        new_short_count >= opts.watchdog_shortened_iter_trigger))
+    wd_done = jnp.logical_or(wd_ok, wd_restore)
+    wd_active_next = jnp.where(in_wd, jnp.logical_not(wd_done), activate)
+    wd_trials_next = jnp.where(jnp.logical_and(in_wd, jnp.logical_not(wd_done)),
+                               st.wd_trials + 1, 0)
+    theta_new = (jnp.sum(jnp.abs(ev_new.c))
+                 + jnp.sum(jnp.abs(ev_new.d - new_it.s)))
+    phi_new = kkt.barrier_obj(nlp, new_it, ev_new.f, mu, opts.kappa_d)
+    wd_ref_next = jax.tree.map(lambda a, b: jnp.where(activate, b, a),
+                               st.wd_ref, new_it)
+    wd_ref_theta_next = jnp.where(activate, theta_new, st.wd_ref_theta)
+    wd_ref_phi_next = jnp.where(activate, phi_new, st.wd_ref_phi)
+    new_short_count = jnp.where(activate, 0, new_short_count)
+
     # --- L-BFGS pair update (LimMemQuasiNewtonUpdater) --------------------
     lbfgs = st.lbfgs
     if opts.hessian_approximation == "limited-memory":
@@ -383,6 +451,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         last_ls_count=ls.n_backtracks, last_delta_x=sr.delta_x,
         last_step_norm=step_norm, restoration_count=resto_count, ams=ams,
         lbfgs=lbfgs, tiny_step_count=tiny_count,
+        wd_active=wd_active_next, wd_trials=wd_trials_next,
+        wd_shortened_count=new_short_count, wd_ref=wd_ref_next,
+        wd_ref_theta=wd_ref_theta_next, wd_ref_phi=wd_ref_phi_next,
         counters=Counters(
             n_obj_evals=st.counters.n_obj_evals + 1 + ls.n_backtracks,
             n_grad_evals=st.counters.n_grad_evals + 2,
@@ -424,6 +495,10 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
             if opts.hessian_approximation == "limited-memory" else 0,
             dtype, opts.limited_memory_init_val),
         tiny_step_count=jnp.zeros((), jnp.int32),
+        wd_active=jnp.zeros((), bool), wd_trials=jnp.zeros((), jnp.int32),
+        wd_shortened_count=jnp.zeros((), jnp.int32), wd_ref=it,
+        wd_ref_theta=jnp.asarray(jnp.inf, dtype),
+        wd_ref_phi=jnp.asarray(jnp.inf, dtype),
         counters=counters_init())
 
 
