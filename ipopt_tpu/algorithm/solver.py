@@ -22,6 +22,7 @@ import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional, Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -394,6 +395,29 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         _print_iter(st.iter_count, ev.f, primal_inf, dual_inf, mu, step_norm,
                     sr.delta_x, ls.alpha_dual, ls.alpha_primal, ls.n_backtracks)
 
+    # --- intermediate_callback (TNLP::intermediate_callback parity,
+    #     IpTNLP.hpp:665: per-iteration user hook with premature stop) -----
+    from ..options import CALLBACK_REGISTRY
+    user_cb = CALLBACK_REGISTRY.get(opts.callback_token)
+    if user_cb is not None:
+        from jax.experimental import io_callback
+
+        def _cb(i, f, pr, du, m_, apr, adu, lsn):
+            keep = user_cb(iter_count=int(i), obj_value=float(f),
+                           inf_pr=float(pr), inf_du=float(du), mu=float(m_),
+                           alpha_pr=float(apr), alpha_du=float(adu),
+                           ls_trials=int(lsn))
+            return np.bool_(keep is not False)
+
+        keep_going = io_callback(_cb, jax.ShapeDtypeStruct((), bool),
+                                 st.iter_count, ev.f, primal_inf, dual_inf,
+                                 mu, ls.alpha_primal, ls.alpha_dual,
+                                 ls.n_backtracks, ordered=True)
+        status = jnp.where(jnp.logical_and(
+            status == int(SolverReturn.CONTINUE),
+            jnp.logical_not(keep_going)),
+            int(SolverReturn.USER_REQUESTED_STOP), status)
+
     # --- CheckConvergence at the NEW point --------------------------------
     ev_new = evaluate(nlp, new_it.x)
 
@@ -568,16 +592,26 @@ def _solve_canonical(nlp: CanonicalNLP, opts: Options,
 
 
 def solve(problem, options: Optional[Options] = None, it0=None,
-          **option_kwargs) -> SolveResult:
+          intermediate_callback=None, **option_kwargs) -> SolveResult:
     """Top-level entry (IpoptApplication::OptimizeTNLP equivalent).
 
-    ``problem`` may be an ``NLP`` (user spec) or an already-canonicalized
-    ``CanonicalNLP``.  Extra keyword arguments are option overrides by their
-    Ipopt names, e.g. ``solve(nlp, tol=1e-6, mu_strategy="monotone")``.
+    ``problem`` may be an ``NLP`` (user spec), a ``ChainedNLP``, a
+    ``ScenarioNLP``, or an already-canonicalized ``CanonicalNLP``.  Extra
+    keyword arguments are option overrides by their Ipopt names, e.g.
+    ``solve(nlp, tol=1e-6, mu_strategy="monotone")``.
+
+    ``intermediate_callback(iter_count=, obj_value=, inf_pr=, inf_du=, mu=,
+    alpha_pr=, alpha_du=, ls_trials=)`` is invoked once per iteration
+    (TNLP::intermediate_callback parity); returning False requests a stop
+    (USER_REQUESTED_STOP).
     """
     opts = options or Options()
     if option_kwargs:
         opts = opts.replace(**option_kwargs)
+    if intermediate_callback is not None:
+        from ..options import register_callback
+        opts = opts.replace(
+            callback_token=register_callback(intermediate_callback))
     if opts.linear_solver == "minres":
         # no saved factorization to reuse for second-order corrections
         opts = opts.replace(max_soc=0)

@@ -267,6 +267,10 @@ class Options:
     derivative_test_perturbation: float = _opt(1e-8, "Derivative Checker", "FD step size.", 0.0, lower_strict=True)
     derivative_test_tol: float = _opt(1e-4, "Derivative Checker", "Relative error threshold.", 0.0, lower_strict=True)
 
+    # ---- Callbacks (token into the registry below; participates in the jit
+    #      key so different callbacks compile distinct programs) ----
+    callback_token: int = _opt(0, "Output", "internal: intermediate_callback id.", 0)
+
     # ---- TPU-specific ----
     dtype: str = _opt("float64", "TPU", "Compute dtype for the IPM core.",
                       choices=("float32", "float64"))
@@ -368,3 +372,15 @@ def parse_options_file(text: str) -> Dict[str, Any]:
         else:
             out[name] = float(sval)
     return out
+
+
+# Registry for intermediate callbacks: Options stays hashable (the token is a
+# plain int field) while the callable lives here (IpTNLP::intermediate_callback
+# equivalent).
+CALLBACK_REGISTRY: Dict[int, Any] = {}
+
+
+def register_callback(fn) -> int:
+    token = id(fn)
+    CALLBACK_REGISTRY[token] = fn
+    return token
