@@ -78,6 +78,28 @@ def main():
     dt_seq = (time.perf_counter() - t0) / reps
     seq_per_sec = 1.0 / dt_seq
 
+    # --- structured (block-tridiagonal) KKT: LuksanVlcek1 -----------------
+    lv = {}
+    try:
+        from ipopt_tpu.modellib import luksan_vlcek1
+        from ipopt_tpu.chained import canonicalize_chained
+        from ipopt_tpu.algorithm.solver import solve as _solve
+        n_lv, v_lv = 8192, 128
+        lv_nlp = canonicalize_chained(luksan_vlcek1(n_lv, v_lv), opts)
+        r = _solve(lv_nlp, opts)
+        jax.block_until_ready(r.x)
+        t0 = time.perf_counter()
+        r = _solve(lv_nlp, opts)
+        jax.block_until_ready(r.x)
+        dt = time.perf_counter() - t0
+        iters = max(int(r.iter_count), 1)
+        lv = {"lv1_n": n_lv, "lv1_status": int(r.status),
+              "lv1_iters": iters,
+              "lv1_ms_per_iter": round(dt / iters * 1e3, 2),
+              "lv1_wall_s": round(dt, 3)}
+    except Exception as e:  # keep the headline metric alive regardless
+        lv = {"lv1_error": repr(e)[:200]}
+
     out = {
         "metric": "batched_hs071_nlps_per_sec",
         "value": round(nlps_per_sec, 2),
@@ -89,6 +111,7 @@ def main():
             "batched_wall_s": round(dt_batched, 4),
             "sequential_nlps_per_sec": round(seq_per_sec, 2),
             "iters_med": int(np.median(np.asarray(res.iter_count))),
+            **lv,
         },
     }
     print(json.dumps(out))

@@ -15,6 +15,12 @@ from .types import Iterate, SolverReturn, ApplicationReturnStatus
 from .problem import NLP, CanonicalNLP, canonicalize
 from .options import Options, print_options_documentation, parse_options_file
 from .algorithm.solver import solve, SolveResult
+from .batch import solve_batched, stack_problems
+from .chained import ChainedNLP, canonicalize_chained
+from .parallel.scenario import ScenarioNLP, canonicalize_scenario
+from .deriv_check import check_derivatives
+from . import sens
+from . import modellib
 
 __version__ = "0.1.0"
 
@@ -22,4 +28,8 @@ __all__ = [
     "NLP", "CanonicalNLP", "canonicalize", "Options", "solve", "SolveResult",
     "Iterate", "SolverReturn", "ApplicationReturnStatus",
     "print_options_documentation", "parse_options_file",
+    "solve_batched", "stack_problems",
+    "ChainedNLP", "canonicalize_chained",
+    "ScenarioNLP", "canonicalize_scenario",
+    "check_derivatives", "sens", "modellib",
 ]

@@ -29,8 +29,7 @@ def compute_scaling(cnlp, opts: Options):
         return cnlp._replace(
             obj_scale=jnp.asarray(opts.obj_scaling_factor, cnlp.x0.dtype))
     if opts.nlp_scaling_method == "equilibration-based":
-        raise NotImplementedError(
-            "equilibration-based scaling (MC19 analog) not yet implemented")
+        return _equilibration_scaling(cnlp, opts)
 
     # gradient-based (the default)
     max_grad = opts.nlp_scaling_max_gradient
@@ -65,3 +64,49 @@ def compute_scaling(cnlp, opts: Options):
         d_scale=d_scale.astype(dtype),
         d_L=cnlp.d_L * d_scale,
         d_U=cnlp.d_U * d_scale)
+
+
+def _equilibration_scaling(cnlp, opts: Options):
+    """Equilibration-based scaling — the MC19 analog (EquilibrationScaling,
+    src/Algorithm/IpEquilibrationScaling.cpp): scale constraint rows and
+    variables so the [grad_f; J] matrix has rows/columns of comparable
+    magnitude.  Implemented as Ruiz iteration (sqrt of inf-norms) on the
+    dense [grad_f; J] stack at x0; variable scaling is folded into the row
+    scaling only (variable-space scaling changes the user's x and is left to
+    a later round, as nlp_scaling in the reference also primarily rescales
+    f and g)."""
+    import jax
+    import jax.numpy as jnp
+    x0 = cnlp.x0
+    dtype = x0.dtype
+    min_val = opts.nlp_scaling_min_value
+
+    gf = jax.grad(lambda x: cnlp.f(cnlp.x_full(x), cnlp.params))(x0)
+    rows = [gf[None, :]]
+    if cnlp.struct.m:
+        J = jax.jacfwd(lambda x: cnlp.g(cnlp.x_full(x), cnlp.params))(x0)
+        rows.append(J)
+    M = jnp.concatenate(rows, axis=0)
+
+    # Two Ruiz sweeps of row equilibration.
+    r = jnp.ones((M.shape[0],), dtype)
+    for _ in range(2):
+        rn = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(M * r[:, None]), axis=1),
+                                  1e-30))
+        r = r / rn
+    r = jnp.clip(r, min_val, 1.0 / min_val)
+
+    df = r[0] * opts.obj_scaling_factor
+    me, mi = cnlp.struct.me, cnlp.struct.mi
+    c_scale = cnlp.c_scale
+    d_scale = cnlp.d_scale
+    if cnlp.struct.m:
+        dg = r[1:]
+        if me:
+            c_scale = dg[jnp.asarray(cnlp.struct.eq_idx)]
+        if mi:
+            d_scale = dg[jnp.asarray(cnlp.struct.ineq_idx)]
+    return cnlp._replace(
+        obj_scale=jnp.asarray(df, dtype),
+        c_scale=c_scale.astype(dtype), d_scale=d_scale.astype(dtype),
+        d_L=cnlp.d_L * d_scale, d_U=cnlp.d_U * d_scale)
