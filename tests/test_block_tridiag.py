@@ -72,3 +72,32 @@ def test_bcr_vmap():
         np.testing.assert_allclose(
             np.asarray(Ks[i].matvec(xs[i])), np.asarray(rhs[i]),
             rtol=1e-8, atol=1e-8)
+
+
+def test_bcr_sharded_over_mesh():
+    """The BTD chain shards over a device mesh: block-parallel BCR levels run
+    distributed (GSPMD inserts the inter-shard communication).  Correctness
+    check vs the replicated result; turning the strided gathers into
+    collective-permutes (instead of all-gathers) is a tracked optimization."""
+    from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+    rng = np.random.default_rng(0)
+    nb, b = 32, 8
+    K = make_btd(nb, b, seed=5)
+    rhs = jnp.asarray(rng.standard_normal(nb * b))
+
+    mesh = Mesh(np.array(devs[:8]), ("blk",))
+    shard = NamedSharding(mesh, P("blk", None, None))
+    diag_s = jax.device_put(K.diag, shard)
+    sub_s = jax.device_put(K.sub, shard)
+
+    @jax.jit
+    def run(d, s, r):
+        fac = bcr_factorize(BTDMatrix(d, s))
+        return bcr_solve(fac, r)
+
+    x = run(diag_s, sub_s, rhs)
+    np.testing.assert_allclose(np.asarray(K.matvec(x)), np.asarray(rhs),
+                               rtol=1e-9, atol=1e-9)
