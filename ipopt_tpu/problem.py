@@ -261,6 +261,47 @@ def canonicalize(nlp: NLP, options: Optional[Options] = None,
     x_U = _fill(nlp.x_U, np.inf, n_full)
     x_L, x_U = _apply_inf(x_L, x_U)
 
+    # fixed_variable_treatment = "make_constraint"
+    # (IpTNLPAdapter.cpp:463-631): keep x_i as a variable, drop its bounds,
+    # and add the equality row x_i = val to g.
+    fixed_mask_mc = (x_L == x_U)
+    user_g = nlp.g
+    user_g_L, user_g_U = nlp.g_L, nlp.g_U
+    if (opts.fixed_variable_treatment == "make_constraint"
+            and fixed_mask_mc.any()):
+        mc_idx = np.nonzero(fixed_mask_mc)[0].astype(np.int32)
+        mc_vals = x_L[mc_idx].copy()
+        base_g = nlp.g
+
+        if nlp.params is None:
+            if base_g is None:
+                user_g = lambda x: x[jnp.asarray(mc_idx)]
+            else:
+                user_g = lambda x: jnp.concatenate(
+                    [base_g(x), x[jnp.asarray(mc_idx)]])
+        else:
+            if base_g is None:
+                user_g = lambda x, p: x[jnp.asarray(mc_idx)]
+            else:
+                user_g = lambda x, p: jnp.concatenate(
+                    [base_g(x, p), x[jnp.asarray(mc_idx)]])
+
+        m_base = 0
+        if base_g is not None:
+            xs_probe = jax.ShapeDtypeStruct((n_full,), dtype)
+            if nlp.params is None:
+                m_base = int(jax.eval_shape(base_g, xs_probe).shape[0])
+            else:
+                m_base = int(jax.eval_shape(base_g, xs_probe,
+                                            nlp.params).shape[0])
+        user_g_L = np.concatenate([_fill(nlp.g_L, -np.inf, m_base), mc_vals])
+        user_g_U = np.concatenate([_fill(nlp.g_U, np.inf, m_base), mc_vals])
+        # free the variable bounds so the variable is no longer "fixed"
+        x_L = np.where(fixed_mask_mc, -np.inf, x_L)
+        x_U = np.where(fixed_mask_mc, np.inf, x_U)
+        nlp = dataclasses.replace(nlp, g=user_g, g_L=user_g_L, g_U=user_g_U,
+                                  x_L=x_L, x_U=x_U)
+
     if nlp.g is not None:
         xs = jax.ShapeDtypeStruct((n_full,), dtype)
         if nlp.params is None:
