@@ -200,23 +200,39 @@ def quality_function_mu(nlp, it: Iterate, opts: Options, step_aff: Iterate,
     return jnp.where(ncomps > 0, sigma * avg, 0.0)
 
 
+_OBJ_FILTER_CAP = 32
+
+
 class AdaptiveMuState(NamedTuple):
-    """Carry for AdaptiveMuUpdate's free/monotone mode switching
-    (kkt-error globalization)."""
+    """Carry for AdaptiveMuUpdate's free/monotone mode switching.
+
+    Supports both globalizations (IpAdaptiveMuUpdate.cpp:78-139):
+    - "kkt-error": scaled KKT error must shrink within red_iters iterations;
+    - "obj-constr-filter" (the reference default): the current (theta, f)
+      pair must be acceptable to a dedicated filter, which is augmented with
+      a margin on each free-mode iteration (filter_margin_fact).
+    """
 
     free_mode: jnp.ndarray        # bool
     ref_kkt_error: jnp.ndarray    # reference error for progress monitoring
     no_progress_count: jnp.ndarray
+    filt_theta: jnp.ndarray       # (_OBJ_FILTER_CAP,) obj-constr filter
+    filt_f: jnp.ndarray
+    filt_size: jnp.ndarray
 
 
 def adaptive_mu_init(dtype) -> AdaptiveMuState:
+    inf = jnp.full((_OBJ_FILTER_CAP,), jnp.inf, dtype)
     return AdaptiveMuState(free_mode=jnp.ones((), bool),
                            ref_kkt_error=jnp.asarray(jnp.inf, dtype),
-                           no_progress_count=jnp.zeros((), jnp.int32))
+                           no_progress_count=jnp.zeros((), jnp.int32),
+                           filt_theta=inf, filt_f=inf,
+                           filt_size=jnp.zeros((), jnp.int32))
 
 
 def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
-                       oracle_mu, dual_s, primal, compl_fn) -> tuple:
+                       oracle_mu, dual_s, primal, compl_fn,
+                       theta_curr=None, f_curr=None) -> tuple:
     """One adaptive update (IpAdaptiveMuUpdate.cpp:78-139, kkt-error
     globalization).  Returns (new AdaptiveMuState, new MuState).
 
@@ -231,11 +247,38 @@ def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
     mu_free = jnp.clip(oracle_mu, opts.mu_min, opts.mu_max)
     tau_free = jnp.maximum(opts.tau_min, 1.0 - mu_free)
 
-    progress = kkt_error <= opts.adaptive_mu_kkterror_red_fact * ams.ref_kkt_error
-    count = jnp.where(progress, 0, ams.no_progress_count + 1)
-    new_ref = jnp.minimum(kkt_error, ams.ref_kkt_error)
-    switch_to_monotone = jnp.logical_and(
-        ams.free_mode, count >= opts.adaptive_mu_kkterror_red_iters)
+    filt_theta, filt_f, filt_size = ams.filt_theta, ams.filt_f, ams.filt_size
+    if (opts.adaptive_mu_globalization == "obj-constr-filter"
+            and theta_curr is not None):
+        # CheckSufficientProgress, obj-constr-filter mode: the current
+        # (theta, f) pair must not be dominated by the filter.
+        blocked = jnp.any(jnp.logical_and(theta_curr >= ams.filt_theta,
+                                          f_curr >= ams.filt_f))
+        progress = jnp.logical_not(blocked)
+        count = jnp.where(progress, 0, ams.no_progress_count + 1)
+        new_ref = ams.ref_kkt_error
+        switch_to_monotone = jnp.logical_and(ams.free_mode, blocked)
+        # RememberCurrentPoint: augment with margin (filter_margin_fact).
+        margin = jnp.minimum(1.0, 1e-5 * jnp.maximum(1.0, theta_curr))
+        i = jnp.minimum(filt_size, _OBJ_FILTER_CAP - 1)
+        aug = jnp.logical_and(ams.free_mode, progress)
+        filt_theta = jnp.where(aug, filt_theta.at[i].set(theta_curr - margin),
+                               filt_theta)
+        filt_f = jnp.where(aug, filt_f.at[i].set(f_curr - margin), filt_f)
+        filt_size = jnp.where(aug,
+                              jnp.minimum(filt_size + 1, _OBJ_FILTER_CAP),
+                              filt_size)
+    elif opts.adaptive_mu_globalization == "never-monotone-mode":
+        progress = jnp.ones((), bool)
+        count = jnp.zeros((), jnp.int32)
+        new_ref = ams.ref_kkt_error
+        switch_to_monotone = jnp.zeros((), bool)
+    else:  # "kkt-error"
+        progress = kkt_error <= opts.adaptive_mu_kkterror_red_fact * ams.ref_kkt_error
+        count = jnp.where(progress, 0, ams.no_progress_count + 1)
+        new_ref = jnp.minimum(kkt_error, ams.ref_kkt_error)
+        switch_to_monotone = jnp.logical_and(
+            ams.free_mode, count >= opts.adaptive_mu_kkterror_red_iters)
 
     # Monotone mode machinery (switch back once sub-problem converged).
     mono_entry_mu = jnp.minimum(
@@ -259,5 +302,6 @@ def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
         free_mode=free_now,
         ref_kkt_error=jnp.where(switch_to_monotone,
                                 jnp.asarray(jnp.inf, kkt_error.dtype), new_ref),
-        no_progress_count=jnp.where(switch_to_monotone, 0, count))
+        no_progress_count=jnp.where(switch_to_monotone, 0, count),
+        filt_theta=filt_theta, filt_f=filt_f, filt_size=filt_size)
     return new_ams, MuState(mu=mu, tau=tau)

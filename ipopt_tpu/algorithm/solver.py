@@ -257,9 +257,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         else:
             mu_orc = quality_function_mu(nlp, it, opts, step_aff, step_cent,
                                          dual_inf / s_d, primal_inf, st.tau)
+        theta_curr = jnp.sum(jnp.abs(ev.c)) + jnp.sum(jnp.abs(ev.d - it.s))
         ams, ms = adaptive_mu_update(opts, st.ams, MuState(st.mu, st.tau),
                                      mu_orc, dual_inf / s_d, primal_inf,
-                                     compl_fn)
+                                     compl_fn, theta_curr=theta_curr,
+                                     f_curr=ev.f)
         mu, tau = ms.mu, ms.tau
         step = jax.tree.map(lambda a, c: a + mu * c, step_aff, step_cent)
         sr = StepResult(step=step, delta_x=fr.delta_x, delta_c=fr.delta_c,

@@ -27,3 +27,14 @@ def test_hs035_adaptive_fast():
     res = solve(problems.hs035(), print_level=0, mu_strategy="adaptive")
     assert int(res.status) == int(SolverReturn.SUCCESS)
     np.testing.assert_allclose(float(res.obj), 1.0 / 9.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("glob", ["obj-constr-filter", "kkt-error",
+                                  "never-monotone-mode"])
+def test_hs071_adaptive_globalizations(glob):
+    res = solve(problems.hs071(), print_level=0, mu_strategy="adaptive",
+                adaptive_mu_globalization=glob)
+    assert int(res.status) in (int(SolverReturn.SUCCESS),
+                               int(SolverReturn.STOP_AT_ACCEPTABLE_POINT)), \
+        (glob, SolverReturn(int(res.status)))
+    np.testing.assert_allclose(float(res.obj), problems.HS071_F_STAR, rtol=1e-6)
