@@ -168,16 +168,21 @@ def _kappa_sigma_clip(nlp: CanonicalNLP, it: Iterate, mu, kappa_sigma):
 
 
 def _print_iter(iter_count, f, inf_pr, inf_du, mu, dnorm, delta_x, alpha_du,
-                alpha_pr, ls_count):
-    """The classic log line (IpOrigIterationOutput.cpp:81)."""
+                alpha_pr, ls_count, output_file=""):
+    """The classic log line (IpOrigIterationOutput.cpp:81); optionally teed to
+    ``output_file`` (FileJournal equivalent, IpJournalist.hpp:416)."""
     lg_mu = jnp.log10(jnp.maximum(mu, 1e-99))
     lg_rg = jnp.where(delta_x > 0, jnp.log10(jnp.maximum(delta_x, 1e-99)), jnp.nan)
 
     def cb(i, f, pr, du, lgmu, dn, rg, adu, apr, ls):
         rg_s = f"{float(rg):5.1f}" if not jnp.isnan(rg) else "  - "
-        print(f"{int(i):4d} {float(f):16.7e} {float(pr):8.2e} {float(du):8.2e}"
-              f" {float(lgmu):5.1f} {float(dn):8.2e} {rg_s} {float(adu):8.2e}"
-              f" {float(apr):8.2e} {int(ls):3d}")
+        line = (f"{int(i):4d} {float(f):16.7e} {float(pr):8.2e} {float(du):8.2e}"
+                f" {float(lgmu):5.1f} {float(dn):8.2e} {rg_s} {float(adu):8.2e}"
+                f" {float(apr):8.2e} {int(ls):3d}")
+        print(line)
+        if output_file:
+            with open(output_file, "a") as fh:
+                fh.write(line + "\n")
 
     jax.debug.callback(cb, iter_count, f, inf_pr, inf_du, lg_mu, dnorm, lg_rg,
                        alpha_du, alpha_pr, ls_count, ordered=True)

@@ -83,6 +83,8 @@ class Options:
     print_level: int = _opt(5, "Output", "Verbosity 0..12 (J_* levels).", 0, 12)
     print_frequency_iter: int = _opt(1, "Output", "Print every N iterations.", 1)
     timing_statistics: bool = _opt(False, "Output", "Collect per-phase timings.")
+    output_file: str = _opt("", "Output", "Append iteration log lines to this "
+                            "file (FileJournal equivalent).", choices=None)
 
     # ---- Termination (IpIpoptData.cpp:27, IpOptErrorConvCheck.cpp) ----
     tol: float = _opt(1e-8, "Termination", "Desired scaled NLP error.", 0.0, lower_strict=True)
