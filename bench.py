@@ -27,6 +27,8 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def main():
+    global T_START
+    T_START = time.perf_counter()
     from ipopt_tpu.options import Options
     from ipopt_tpu.batch import stack_problems, _solve_batched_jit
     from ipopt_tpu.problem import NLP
@@ -79,12 +81,21 @@ def main():
     seq_per_sec = 1.0 / dt_seq
 
     # --- structured (block-tridiagonal) KKT: LuksanVlcek1 -----------------
+    # The remote TPU compile of the chained solver is expensive and is NOT
+    # captured by the persistent cache; keep the size moderate and make the
+    # phase skippable so the headline metric always lands.
     lv = {}
+    t_budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    if os.environ.get("BENCH_SKIP_LV1") or time.perf_counter() - T_START > t_budget:
+        lv = {"lv1_skipped": True}
+        print(json.dumps(_result(nlps_per_sec, seq_per_sec, B, n_ok,
+                                 dtype_str, dt_batched, res, lv)))
+        return
     try:
         from ipopt_tpu.modellib import luksan_vlcek1
         from ipopt_tpu.chained import canonicalize_chained
         from ipopt_tpu.algorithm.solver import solve as _solve
-        n_lv, v_lv = 8192, 128
+        n_lv, v_lv = 4096, 128
         lv_nlp = canonicalize_chained(luksan_vlcek1(n_lv, v_lv), opts)
         r = _solve(lv_nlp, opts)
         jax.block_until_ready(r.x)
@@ -100,7 +111,12 @@ def main():
     except Exception as e:  # keep the headline metric alive regardless
         lv = {"lv1_error": repr(e)[:200]}
 
-    out = {
+    print(json.dumps(_result(nlps_per_sec, seq_per_sec, B, n_ok, dtype_str,
+                             dt_batched, res, lv)))
+
+
+def _result(nlps_per_sec, seq_per_sec, B, n_ok, dtype_str, dt_batched, res, lv):
+    return {
         "metric": "batched_hs071_nlps_per_sec",
         "value": round(nlps_per_sec, 2),
         "unit": "NLPs/s",
@@ -114,7 +130,6 @@ def main():
             **lv,
         },
     }
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":
