@@ -79,6 +79,7 @@ class LineSearchResult(NamedTuple):
     filter: FilterState
     theta_curr: jnp.ndarray
     phi_curr: jnp.ndarray
+    penalty_nu: jnp.ndarray
 
 
 def _theta(nlp: CanonicalNLP, c, d, s):
@@ -110,9 +111,10 @@ def _trial_point(it: Iterate, step: Iterate, alpha, alpha_dual):
 
 def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
                 sr: StepResult, mu, tau, fs: FilterState,
-                theta_min, theta_max) -> LineSearchResult:
+                theta_min, theta_max, penalty_nu=None) -> LineSearchResult:
     dtype = it.x.dtype
     step = sr.step
+    use_penalty = opts.line_search_method == "penalty"
 
     # Current-point quantities.
     theta = _theta(nlp, ev.c, ev.d, it.s)
@@ -141,8 +143,26 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
             descent,
             alpha * safe_mg ** opts.s_phi > opts.delta * theta ** opts.s_theta)
 
+    # --- l1-penalty acceptor (PenaltyLSAcceptor, IpPenaltyLSAcceptor.cpp):
+    # nu >= |grad phi . d| / ((1 - rho) theta) + safety; Armijo on
+    # Phi_nu = phi + nu * theta with model decrease Dphi = gphi.d - nu*theta.
+    if use_penalty:
+        rho_pen = 0.1  # Ipopt's nu_update rho
+        nu_req = jnp.where(theta > 0,
+                           jnp.abs(gphi_dx) / ((1.0 - rho_pen)
+                                               * jnp.maximum(theta, 1e-30)),
+                           0.0)
+        nu = jnp.maximum(penalty_nu, nu_req + 1.0)
+    else:
+        nu = penalty_nu if penalty_nu is not None else jnp.zeros((), dtype)
+
     def acceptable(alpha, theta_t, phi_t):
         """Returns (accept, is_ftype)."""
+        if use_penalty:
+            Dphi = gphi_dx - nu * theta
+            lhs = (phi_t + nu * theta_t) - (phi + nu * theta)
+            accept = lhs <= opts.eta_phi * alpha * jnp.minimum(Dphi, 0.0)
+            return accept, jnp.ones((), bool)  # no filter augmentation
         to_filter = jnp.logical_and(filter_acceptable(fs, theta_t, phi_t),
                                     theta_t <= theta_max)
         sw = switching(alpha)
@@ -286,4 +306,4 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         alpha_dual=alpha_dual, trial=out.it_t, trial_ev_f=out.f_t,
         trial_c=out.c_t, trial_d=out.d_t, n_backtracks=out.k,
         used_soc=out.used_soc, ftype=out.ftype, filter=fs_out,
-        theta_curr=theta, phi_curr=phi)
+        theta_curr=theta, phi_curr=phi, penalty_nu=nu)

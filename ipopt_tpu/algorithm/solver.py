@@ -91,6 +91,7 @@ class IPMState(NamedTuple):
     wd_ref: Iterate
     wd_ref_theta: jnp.ndarray
     wd_ref_phi: jnp.ndarray
+    penalty_nu: jnp.ndarray  # l1-penalty acceptor parameter (PenaltyLSAcceptor)
 
 
 class SolveResult(NamedTuple):
@@ -301,7 +302,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
 
     # --- Line search ------------------------------------------------------
     ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
-                     st.theta_min, st.theta_max)
+                     st.theta_min, st.theta_max, penalty_nu=st.penalty_nu)
 
     # --- Watchdog (Start/StopWatchDog, IpBacktrackingLineSearch) ----------
     # In watchdog mode the full fraction-to-boundary step is taken on trust;
@@ -485,6 +486,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         wd_active=wd_active_next, wd_trials=wd_trials_next,
         wd_shortened_count=new_short_count, wd_ref=wd_ref_next,
         wd_ref_theta=wd_ref_theta_next, wd_ref_phi=wd_ref_phi_next,
+        penalty_nu=ls.penalty_nu,
         counters=Counters(
             n_obj_evals=st.counters.n_obj_evals + 1 + ls.n_backtracks,
             n_grad_evals=st.counters.n_grad_evals + 2,
@@ -530,6 +532,7 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         wd_shortened_count=jnp.zeros((), jnp.int32), wd_ref=it,
         wd_ref_theta=jnp.asarray(jnp.inf, dtype),
         wd_ref_phi=jnp.asarray(jnp.inf, dtype),
+        penalty_nu=jnp.asarray(1.0, dtype),
         counters=counters_init())
 
 

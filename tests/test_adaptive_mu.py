@@ -38,3 +38,9 @@ def test_hs071_adaptive_globalizations(glob):
                                int(SolverReturn.STOP_AT_ACCEPTABLE_POINT)), \
         (glob, SolverReturn(int(res.status)))
     np.testing.assert_allclose(float(res.obj), problems.HS071_F_STAR, rtol=1e-6)
+
+
+def test_hs071_penalty_linesearch():
+    res = solve(problems.hs071(), print_level=0, line_search_method="penalty")
+    assert int(res.status) == int(SolverReturn.SUCCESS)
+    np.testing.assert_allclose(float(res.obj), problems.HS071_F_STAR, rtol=1e-7)
