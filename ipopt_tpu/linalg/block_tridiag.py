@@ -130,14 +130,30 @@ def batched_block_ldlt(A, use_pallas: bool = False):
     return _vfactor_jnp(A)
 
 
+def batched_block_ldlt_inv(A, use_pallas: bool = False):
+    """(nb, b, b) -> (d, Ainv): pivots (for inertia) + explicit inverses.
+
+    Explicit inverses turn every downstream elimination/backsolve op into a
+    batched matmul (MXU) instead of a batched triangular solve, which lowers
+    to a sequential substitution on TPU and dominated the BCR profile."""
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas_ldlt import pallas_block_ldlt_inv
+        _, d, Ainv = pallas_block_ldlt_inv(A)
+        return d, Ainv
+    L, d = _vfactor_jnp(A)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    Ainv = _vsolve(L, d, eye)
+    return d, Ainv
+
+
 class BCRFactor(NamedTuple):
-    Ls: jnp.ndarray    # (levels, nb, b, b) factors of blocks (used where elim)
-    ds: jnp.ndarray    # (levels, nb, b)
+    Ainv: jnp.ndarray  # (levels, nb, b, b) inverses of eliminated blocks
+    ds: jnp.ndarray    # (levels, nb, b) pivots (inertia bookkeeping)
     Gl: jnp.ndarray    # (levels, nb, b, b): A_i^{-1} K(i, i-s)   (left coupling)
     Gr: jnp.ndarray    # (levels, nb, b, b): A_i^{-1} K(i+s, i)^T (right coupling)
     elim: jnp.ndarray  # (levels, nb) bool
     has_r: jnp.ndarray  # (levels, nb) bool: eliminated block had a right neighbor
-    L_root: jnp.ndarray
+    Ainv_root: jnp.ndarray
     d_root: jnp.ndarray
     num_pos: jnp.ndarray
     num_neg: jnp.ndarray
@@ -178,7 +194,7 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
     diag = K.diag
     C = K.sub  # C[j] = K(j+stride, j) for active j (stride grows per level)
 
-    Ls_l, ds_l, Gl_l, Gr_l, elim_l, hasr_l = [], [], [], [], [], []
+    Ai_l, ds_l, Gl_l, Gr_l, elim_l, hasr_l = [], [], [], [], [], []
     num_pos = jnp.zeros((), jnp.int32)
     num_neg = jnp.zeros((), jnp.int32)
     num_zero = jnp.zeros((), jnp.int32)
@@ -188,7 +204,7 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
         is_elim = jnp.logical_and(idx % (2 * s) == s, idx < nb)
         is_active_next = (idx % (2 * s) == 0)
 
-        Ls, ds = batched_block_ldlt(diag, use_pallas)
+        ds, Ainv = batched_block_ldlt_inv(diag, use_pallas)
         p, n_, z = _block_inertia(ds, is_elim, pivot_tol)
         num_pos += p
         num_neg += n_
@@ -202,13 +218,12 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
         # --- per-eliminated-i solve data (gathers of *old* C) -------------
         # For eliminated i: a = i-s always exists; c = i+s may not.
         Ca_of_i = C[left_i]                       # K(i, i-s) gathered at i
-        Ci_of_i = C                               # K(i+s, i) stored at i
-        Gl = _vsolve(Ls, ds, Ca_of_i)             # A_i^{-1} K(i, a)
-        Gr = _vsolve(Ls, ds, jnp.swapaxes(Ci_of_i, -1, -2))  # A_i^{-1} K(c,i)^T
+        Gl = jnp.einsum("nij,njk->nik", Ainv, Ca_of_i)   # A_i^{-1} K(i, a)
+        Gr = jnp.einsum("nij,nkj->nik", Ainv, C)         # A_i^{-1} K(c, i)^T
         elim_has_r = jnp.logical_and(is_elim, idx + s < nb)
 
         m_e = is_elim[:, None, None]
-        Ls_l.append(jnp.where(m_e, Ls, 0.0))
+        Ai_l.append(jnp.where(m_e, Ainv, 0.0))
         ds_l.append(jnp.where(is_elim[:, None], ds, 0.0))
         Gl_l.append(jnp.where(m_e, Gl, 0.0))
         Gr_l.append(jnp.where(jnp.logical_and(is_elim, elim_has_r)[:, None, None],
@@ -217,14 +232,13 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
         hasr_l.append(elim_has_r)
 
         # --- per-active-j diagonal updates (pure gathers) -----------------
-        Y_r = _vsolve(Ls[right_i], ds[right_i], C)       # A_{j+s}^{-1} C[j]
+        Y_r = jnp.einsum("nij,njk->nik", Ainv[right_i], C)  # A_{j+s}^{-1} C[j]
         # From right neighbor i=j+s (j is its 'a'): A_j -= Ca^T A_i^{-1} Ca,
         #   Ca = K(i, j) = C[j].
         updR = jnp.einsum("nki,nkj->nij", C, Y_r)
         # From left neighbor i=j-s (j is its 'c'): A_j -= Ci A_i^{-1} Ci^T,
         #   Ci = K(j, i) = C[left_i]; A_i^{-1} Ci^T = Gr gathered at i=left_i.
-        Y_l = _vsolve(Ls[left_i], ds[left_i],
-                      jnp.swapaxes(C[left_i], -1, -2))
+        Y_l = jnp.einsum("nij,nkj->nik", Ainv[left_i], C[left_i])
         updL = jnp.einsum("nij,njk->nik", C[left_i], Y_l)
 
         diag = (diag
@@ -240,6 +254,7 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
                       jnp.where(has_c2[:, None, None], newC, 0.0), C)
 
     L_root, d_root = _dense_ldlt_block(diag[0])
+    Ainv_root = _block_solve(L_root, d_root, jnp.eye(b, dtype=dtype))
     p, n_, z = _block_inertia(d_root[None, :], jnp.ones((1,), bool), pivot_tol)
     num_pos += p
     num_neg += n_
@@ -249,11 +264,11 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
         return jnp.stack(xs) if xs else jnp.zeros((0,) + shape, dtype)
 
     return BCRFactor(
-        Ls=stk(Ls_l, (nb, b, b)), ds=stk(ds_l, (nb, b)),
+        Ainv=stk(Ai_l, (nb, b, b)), ds=stk(ds_l, (nb, b)),
         Gl=stk(Gl_l, (nb, b, b)), Gr=stk(Gr_l, (nb, b, b)),
         elim=jnp.stack(elim_l) if elim_l else jnp.zeros((0, nb), bool),
         has_r=jnp.stack(hasr_l) if hasr_l else jnp.zeros((0, nb), bool),
-        L_root=L_root, d_root=d_root,
+        Ainv_root=Ainv_root, d_root=d_root,
         num_pos=num_pos, num_neg=num_neg, num_zero=num_zero,
         singular=num_zero > 0)
 
@@ -261,13 +276,9 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
 def bcr_solve(fac: BCRFactor, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve K x = rhs using the BCR factorization (forward eliminate rhs,
     root solve, back substitute)."""
-    levels, nb, b = fac.Ls.shape[0], fac.Ls.shape[1], fac.Ls.shape[2]
+    levels, nb, b = fac.Ainv.shape[0], fac.Ainv.shape[1], fac.Ainv.shape[2]
     R = rhs.reshape(nb, b)
     idx = jnp.arange(nb)
-
-    def vec_solve(Ls, ds, r):
-        return jax.vmap(lambda L, d, v: _block_solve(L, d, v[:, None])[:, 0])(
-            Ls, ds, r)
 
     for l in range(levels):
         s = 1 << l
@@ -284,7 +295,7 @@ def bcr_solve(fac: BCRFactor, rhs: jnp.ndarray) -> jnp.ndarray:
         R = (R - jnp.where(has_right[:, None], updR, 0.0)
              - jnp.where(has_left[:, None], updL, 0.0))
 
-    x0 = _block_solve(fac.L_root, fac.d_root, R[0][:, None])[:, 0]
+    x0 = fac.Ainv_root @ R[0]
     X = jnp.zeros_like(R).at[0].set(x0)
 
     for l in reversed(range(levels)):
@@ -292,7 +303,7 @@ def bcr_solve(fac: BCRFactor, rhs: jnp.ndarray) -> jnp.ndarray:
         is_elim = fac.elim[l]
         left_j = jnp.maximum(idx - s, 0)    # 'a' of eliminated i
         right_j = jnp.minimum(idx + s, nb - 1)  # 'c' of eliminated i
-        y = vec_solve(fac.Ls[l], fac.ds[l], R)
+        y = jnp.einsum("nij,nj->ni", fac.Ainv[l], R)
         xi = (y - jnp.einsum("nij,nj->ni", fac.Gl[l], X[left_j])
               - jnp.where(fac.has_r[l][:, None],
                           jnp.einsum("nij,nj->ni", fac.Gr[l], X[right_j]), 0.0))
