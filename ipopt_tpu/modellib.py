@@ -158,3 +158,90 @@ def mittelmann_bndry_control_1d(N: int, v: int = 0) -> ChainedNLP:
         f_stage=f_stage, g_stage=g_stage, f_last=f_last, theta=theta,
         x0=y0, g_L=g_L, g_U=g_U, x_L=x_L, x_U=x_U,
         name=f"mittelmann1d_N{N}_v{v}")
+
+
+def luksan_vlcek2(n: int, equality: bool = True) -> NLP:
+    """LuksanVlcek2 (examples/ScalableProblems/LuksanVlcek2.cpp): chained
+    Wood-like objective over variable pairs, 11-wide window constraints
+    g_i = (2 + 5 x_{i+5}^2) x_{i+5} + 1 + sum_{k=max(0,i-5)}^{i+1} x_k(x_k+1),
+    i = 0..m-1 with m = n - 9 (the reference uses n = N_ + 2 variables and
+    m = N_ - 7 rows).  Equality variant (g = 0) or inequality (-1 <= g <= 0),
+    matching the registry's LukVlE2 / LukVlI2 instances.  n % 2 == 0, n >= 12.
+    """
+    assert n % 2 == 0 and n >= 12
+
+    def f(x):
+        xe = x[0:n - 2:2]   # x[2i]
+        xo = x[1:n - 1:2]   # x[2i+1]
+        xe2 = x[2:n:2]      # x[2i+2]
+        xo2 = x[3:n:2]      # x[2i+3]
+        a1 = xe ** 2 - xo
+        a2 = xe - 1.0
+        a3 = xe2 ** 2 - xo2
+        a4 = xe2 - 1.0
+        a5 = xo + xo2 - 2.0
+        a6 = xo - xo2
+        return jnp.sum(100.0 * a1 ** 2 + a2 ** 2 + 90.0 * a3 ** 2 + a4 ** 2
+                       + 10.0 * a5 ** 2 + 0.1 * a6 ** 2)
+
+    m = n - 9
+
+    def g(x):
+        q = x * (x + 1.0)
+        # windowed sum over k in [max(0, i-5), i+1]
+        cq = jnp.concatenate([jnp.zeros(1, x.dtype), jnp.cumsum(q)])
+        i = jnp.arange(m)
+        lo = jnp.maximum(0, i - 5)
+        hi = i + 1
+        wsum = cq[hi + 1] - cq[lo]
+        x5 = x[5:5 + m]
+        return (2.0 + 5.0 * x5 ** 2) * x5 + 1.0 + wsum
+
+    x0 = np.empty(n)
+    x0[0::2] = -2.0
+    x0[1::2] = 1.0
+    if equality:
+        g_L = np.zeros(m)
+        g_U = np.zeros(m)
+    else:
+        g_L = np.full(m, -1.0)
+        g_U = np.zeros(m)
+    return NLP(name=f"luksan_vlcek2_{'E' if equality else 'I'}{n}",
+               f=f, g=g, g_L=g_L, g_U=g_U, x0=x0)
+
+
+def luksan_vlcek3(n: int, equality: bool = True) -> NLP:
+    """LuksanVlcek3 (examples/ScalableProblems/LuksanVlcek3.cpp): chained
+    Powell singular objective, two boundary constraints.  n % 4 == 0."""
+    assert n % 4 == 0 and n >= 8
+
+    def f(x):
+        xe = x[0:n - 2:2]
+        xo = x[1:n - 1:2]
+        xe2 = x[2:n:2]
+        xo2 = x[3:n:2]
+        a1 = xe + 10.0 * xo
+        a2 = xe2 - xo2
+        a3 = xo - 2.0 * xe2
+        a4 = xe - xo2
+        return jnp.sum(a1 ** 2 + 5.0 * a2 ** 2 + a3 ** 4 + 10.0 * a4 ** 4)
+
+    def g(x):
+        return jnp.array([
+            3.0 * x[0] ** 3 + 2.0 * x[1] - 5.0
+            + jnp.sin(x[0] - x[1]) * jnp.sin(x[0] + x[1]),
+            4.0 * x[n - 3] - x[n - 4] * jnp.exp(x[n - 4] - x[n - 3]) - 3.0])
+
+    x0 = np.empty(n)
+    x0[0::4] = 3.0
+    x0[1::4] = -1.0
+    x0[2::4] = 0.0
+    x0[3::4] = 1.0
+    if equality:
+        g_L = np.zeros(2)
+        g_U = np.zeros(2)
+    else:
+        g_L = np.full(2, -1.0)
+        g_U = np.zeros(2)
+    return NLP(name=f"luksan_vlcek3_{'E' if equality else 'I'}{n}",
+               f=f, g=g, g_L=g_L, g_U=g_U, x0=x0)

@@ -30,3 +30,33 @@ def test_robustness_problem(make):
         assert ok, float(res.obj)
         return
     np.testing.assert_allclose(float(res.obj), f_star, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("make,kw", [
+    (problems.luksan_vlcek1, {}),
+])
+def test_luksan_vlcek1_flat(make, kw):
+    res = solve(make(20), print_level=0)
+    assert int(res.status) == int(SolverReturn.SUCCESS)
+
+
+@pytest.mark.parametrize("equality", [True, False])
+def test_luksan_vlcek2(equality):
+    from ipopt_tpu.modellib import luksan_vlcek2
+    nlp = luksan_vlcek2(20, equality=equality)
+    res = solve(nlp, print_level=0)
+    assert int(res.status) in (int(SolverReturn.SUCCESS),
+                               int(SolverReturn.STOP_AT_ACCEPTABLE_POINT)), \
+        (equality, SolverReturn(int(res.status)))
+    verify_kkt(nlp, res, tol=1e-5)
+
+
+@pytest.mark.parametrize("equality", [True, False])
+def test_luksan_vlcek3(equality):
+    from ipopt_tpu.modellib import luksan_vlcek3
+    nlp = luksan_vlcek3(20, equality=equality)
+    res = solve(nlp, print_level=0)
+    assert int(res.status) in (int(SolverReturn.SUCCESS),
+                               int(SolverReturn.STOP_AT_ACCEPTABLE_POINT)), \
+        (equality, SolverReturn(int(res.status)))
+    verify_kkt(nlp, res, tol=1e-5)
