@@ -238,6 +238,7 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
         wd_ref_theta=jnp.asarray(jnp.inf, dtype),
         wd_ref_phi=jnp.asarray(jnp.inf, dtype),
         penalty_nu=jnp.asarray(1.0, dtype),
+        soft_resto_count=jnp.zeros((), jnp.int32),
         counters=counters_init())
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry

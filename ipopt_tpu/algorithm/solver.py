@@ -92,6 +92,7 @@ class IPMState(NamedTuple):
     wd_ref_theta: jnp.ndarray
     wd_ref_phi: jnp.ndarray
     penalty_nu: jnp.ndarray  # l1-penalty acceptor parameter (PenaltyLSAcceptor)
+    soft_resto_count: jnp.ndarray  # consecutive soft-restoration steps
 
 
 class SolveResult(NamedTuple):
@@ -341,9 +342,36 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                                  jnp.logical_and(jnp.logical_not(wd_ok),
                                                  wd_exhausted))
     accepted = jnp.logical_or(accepted, in_wd)
+
+    # --- Soft restoration (IpBacktrackingLineSearch soft resto:
+    #     soft_resto_pderror_reduction_factor): before the full nested
+    #     restoration, accept the full fraction-to-boundary step if it reduces
+    #     the primal-dual error enough; at most max_soft_resto_iters in a row.
+    curr_pd = jnp.maximum(dual_inf, primal_inf)
+    res_wd = kkt_residuals(
+        nlp, wd_trial,
+        Evals(f=wd_f, grad_f=nlp.eval_grad_f(wd_trial.x), c=wd_c, d=wd_d,
+              J_c=None, J_d=None,
+              jc_t=(lambda y, _x=wd_trial.x: jax.vjp(nlp.eval_c, _x)[1](y)[0]),
+              jd_t=(lambda y, _x=wd_trial.x: jax.vjp(nlp.eval_d, _x)[1](y)[0])),
+        mu)
+    wd_pd = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(res_wd.grad_lag_x), initial=0.0),
+                    jnp.max(jnp.abs(res_wd.grad_lag_s), initial=0.0)),
+        jnp.maximum(jnp.max(jnp.abs(res_wd.c), initial=0.0),
+                    jnp.max(jnp.abs(res_wd.d_minus_s), initial=0.0)))
+    soft_ok = jnp.logical_and(
+        jnp.logical_and(jnp.logical_not(accepted),
+                        jnp.logical_not(sr.failed)),
+        jnp.logical_and(
+            wd_pd <= opts.soft_resto_pderror_reduction_factor * curr_pd,
+            st.soft_resto_count < opts.max_soft_resto_iters))
+    soft_count = jnp.where(soft_ok, st.soft_resto_count + 1, 0)
+    accepted = jnp.logical_or(accepted, soft_ok)
     new_it = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), it, ls.trial)
-    # watchdog mode: the trusted full step (or the restored reference point)
-    new_it = jax.tree.map(lambda a, b: jnp.where(in_wd, b, a), new_it, wd_trial)
+    # watchdog mode / soft restoration: the trusted full step
+    take_full = jnp.logical_or(in_wd, soft_ok)
+    new_it = jax.tree.map(lambda a, b: jnp.where(take_full, b, a), new_it, wd_trial)
     new_it = jax.tree.map(lambda a, b: jnp.where(wd_restore, b, a),
                           new_it, st.wd_ref)
     new_it = _kappa_sigma_clip(nlp, new_it, mu, opts.kappa_sigma)
@@ -487,6 +515,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         wd_shortened_count=new_short_count, wd_ref=wd_ref_next,
         wd_ref_theta=wd_ref_theta_next, wd_ref_phi=wd_ref_phi_next,
         penalty_nu=ls.penalty_nu,
+        soft_resto_count=soft_count,
         counters=Counters(
             n_obj_evals=st.counters.n_obj_evals + 1 + ls.n_backtracks,
             n_grad_evals=st.counters.n_grad_evals + 2,
@@ -533,6 +562,7 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         wd_ref_theta=jnp.asarray(jnp.inf, dtype),
         wd_ref_phi=jnp.asarray(jnp.inf, dtype),
         penalty_nu=jnp.asarray(1.0, dtype),
+        soft_resto_count=jnp.zeros((), jnp.int32),
         counters=counters_init())
 
 
