@@ -47,10 +47,35 @@ class StepResult(NamedTuple):
     K: jnp.ndarray           # the factorized matrix (for refinement/SOC)
 
 
+def _sym_ruiz_scale(K, sweeps: int = 2):
+    """Symmetric Ruiz equilibration of the KKT matrix — the MC19 analog
+    (Mc19TSymScalingMethod, src/Algorithm/LinearSolvers/IpMc19TSymScalingMethod.cpp):
+    D K D with D_i = prod sqrt(1/row_inf_norm)."""
+    d = jnp.ones((K.shape[0],), K.dtype)
+    for _ in range(sweeps):
+        Ks = K * d[:, None] * d[None, :]
+        rn = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(Ks), axis=1), 1e-30))
+        d = d / rn
+    return jnp.clip(d, 1e-8, 1e8)
+
+
 def _factorize(K, opts: Options):
+    """Factorize K, optionally after symmetric equilibration (inertia is
+    congruence-invariant; solves unscale transparently via fac.row_scale)."""
+    if opts.linear_system_scaling == "mc19":
+        d = _sym_ruiz_scale(K)
+        Ks = K * d[:, None] * d[None, :]
+    else:
+        d = None
+        Ks = K
     if opts.linear_solver == "dense-ldlt-blocked":
-        return ldlt_blocked(K, block=opts.kkt_block_size, pivot_tol=opts.ldlt_pivot_tol)
-    return ldlt(K, pivot_tol=opts.ldlt_pivot_tol)
+        fac = ldlt_blocked(Ks, block=opts.kkt_block_size,
+                           pivot_tol=opts.ldlt_pivot_tol)
+    else:
+        fac = ldlt(Ks, pivot_tol=opts.ldlt_pivot_tol)
+    if d is not None:
+        fac = fac._replace(row_scale=d)
+    return fac
 
 
 def solve_with_refinement(K, fac: LDLTResult, rhs, opts: Options):

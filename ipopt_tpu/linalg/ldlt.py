@@ -35,6 +35,9 @@ class LDLTResult(NamedTuple):
     num_neg: jnp.ndarray  # inertia: negative eigenvalue count
     num_zero: jnp.ndarray  # pivots treated as zero -> singular
     singular: jnp.ndarray  # bool
+    # Optional symmetric equilibration: the factorization is of (S K S) with
+    # S = diag(row_scale); solves map b -> S ((SKS)^-1 (S b)).
+    row_scale: jnp.ndarray = None
 
 
 def _pivot_tols(d_abs_max, dtype, pivot_tol):
@@ -54,7 +57,8 @@ def ldlt(A: jnp.ndarray, pivot_tol: float = 0.0) -> LDLTResult:
     if n == 0:
         z = jnp.zeros((0,), dtype)
         zi = jnp.array(0, jnp.int32)
-        return LDLTResult(jnp.zeros((0, 0), dtype), z, zi, zi, zi, jnp.array(False))
+        return LDLTResult(jnp.zeros((0, 0), dtype), z, zi, zi, zi,
+                          jnp.array(False), z)
 
     idx = jnp.arange(n)
     tiny = jnp.finfo(dtype).tiny
@@ -84,7 +88,8 @@ def _finish(L, d, dtype, pivot_tol):
     num_zero = jnp.sum(is_zero).astype(jnp.int32)
     num_pos = jnp.sum(jnp.logical_and(~is_zero, d > 0)).astype(jnp.int32)
     num_neg = jnp.sum(jnp.logical_and(~is_zero, d < 0)).astype(jnp.int32)
-    return LDLTResult(L, d, num_pos, num_neg, num_zero, num_zero > 0)
+    return LDLTResult(L, d, num_pos, num_neg, num_zero, num_zero > 0,
+                      jnp.ones_like(d))
 
 
 def ldlt_blocked(A: jnp.ndarray, block: int = 128, pivot_tol: float = 0.0) -> LDLTResult:
@@ -161,13 +166,16 @@ def ldlt_blocked(A: jnp.ndarray, block: int = 128, pivot_tol: float = 0.0) -> LD
 
 
 def ldlt_solve(fac: LDLTResult, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve A x = b given A = L D L^T.  b may be (n,) or (n, k)."""
+    """Solve A x = b given (S A S) = L D L^T (S = equilibration, often I).
+    b may be (n,) or (n, k)."""
     L, d = fac.L, fac.d
     n = L.shape[0]
     if n == 0:
         return b
     vec = b.ndim == 1
     B = b[:, None] if vec else b
+    if fac.row_scale is not None:
+        B = B * fac.row_scale[:, None]
     y = lax.linalg.triangular_solve(L, B, left_side=True, lower=True,
                                     unit_diagonal=True)
     tiny = jnp.finfo(L.dtype).tiny
@@ -175,4 +183,6 @@ def ldlt_solve(fac: LDLTResult, b: jnp.ndarray) -> jnp.ndarray:
     z = y / safe_d[:, None]
     x = lax.linalg.triangular_solve(L, z, left_side=True, lower=True,
                                     transpose_a=True, unit_diagonal=True)
+    if fac.row_scale is not None:
+        x = x * fac.row_scale[:, None]
     return x[:, 0] if vec else x

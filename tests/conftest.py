@@ -27,3 +27,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free in-memory compiled executables after each test module.  The full
+    suite compiles dozens of large solver programs; without this the
+    accumulated executables can OOM the host (the persistent on-disk cache
+    makes reloads cheap)."""
+    yield
+    jax.clear_caches()
