@@ -9,32 +9,27 @@ trajectory optimization / MPC).
 Design (TPU-first):
 - The matrix is block-tridiagonal (nb blocks of size b): diagonal blocks
   ``diag[i]`` and sub-diagonal couplings ``sub[i] = K(i+1, i)``.
-- **Block cyclic reduction**: at each of ceil(log2(nb)) levels, all blocks at
-  odd multiples of the current stride are eliminated *in parallel* (vmapped
-  dense b x b LDL^T + batched matmuls on the MXU), halving the active chain.
-  Sequential depth is O(b log nb) instead of O(n) for ordinary banded
-  elimination — the lever that makes a 10^6-variable banded KKT fast on a
-  systolic-array machine.
-- Odd-even elimination is a symmetric congruence (it is LDL^T under an
-  odd-even permutation), so by Sylvester's law the inertia of K is the sum of
-  the eliminated blocks' D-sign counts plus the root's — preserving the
-  reference's factorize -> inertia -> perturb contract
+- **Compacted block cyclic reduction**: each level eliminates the ODD-indexed
+  blocks of the current (compacted) chain in parallel and keeps the even ones,
+  halving the arrays by pure interleave slicing (``[1::2]`` / ``[0::2]``).
+  Per-level work and storage shrink geometrically (total ~2 nb block
+  factorizations across all levels); sequential depth is O(b log nb).
+- Eliminated blocks are factorized AND explicitly inverted in one fused
+  Pallas kernel (``pallas_block_ldlt_inv``) so every downstream operation —
+  couplings, Schur updates, backsolves — is a batched MXU matmul.  (Batched
+  triangular solves lower to sequential substitutions on TPU and dominated
+  the earlier profile.)
+- Odd-even elimination is a symmetric congruence, so by Sylvester's law the
+  inertia of K is the sum of eliminated pivot-sign counts plus the root's —
+  preserving the reference's factorize -> inertia -> perturb contract
   (IpSparseSymLinearSolverInterface::NumberOfNegEVals).
-- Quasi-definiteness (primal block + delta_x, dual block - delta_c) is closed
-  under Schur complements, so the pivot-free elimination is well defined
-  whenever the regularized KKT is quasi-definite — numerical trouble surfaces
-  as zero/wrong-sign pivots and feeds the standard perturbation retry loop.
-- Everything is gather-based (no scatters with colliding indices), so it
-  vmaps and shards cleanly.
-
-Memory note: per-level factors are stored as (levels, nb, b, b) arenas for
-simplicity; only ~2*nb blocks are actually live across all levels.  Packing
-into a 2*nb arena (and a Pallas fused kernel for the level sweep) is the
-planned optimization for the 10^6-variable regime.
+- Quasi-definiteness (+delta_x / -delta_c regularization) is closed under
+  Schur complements, so the pivot-free elimination is well defined; trouble
+  surfaces as zero/wrong-sign pivots and feeds the perturbation retry loop.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Tuple, List
 
 import jax
 import jax.numpy as jnp
@@ -131,11 +126,7 @@ def batched_block_ldlt(A, use_pallas: bool = False):
 
 
 def batched_block_ldlt_inv(A, use_pallas: bool = False):
-    """(nb, b, b) -> (d, Ainv): pivots (for inertia) + explicit inverses.
-
-    Explicit inverses turn every downstream elimination/backsolve op into a
-    batched matmul (MXU) instead of a batched triangular solve, which lowers
-    to a sequential substitution on TPU and dominated the BCR profile."""
+    """(nb, b, b) -> (d, Ainv): pivots (for inertia) + explicit inverses."""
     if use_pallas and jax.default_backend() == "tpu":
         from .pallas_ldlt import pallas_block_ldlt_inv
         _, d, Ainv = pallas_block_ldlt_inv(A)
@@ -146,167 +137,175 @@ def batched_block_ldlt_inv(A, use_pallas: bool = False):
     return d, Ainv
 
 
+class BCRLevel(NamedTuple):
+    """Per-level elimination data over the level's *eliminated* blocks only
+    (ne_l blocks; sizes halve per level)."""
+
+    ds: jnp.ndarray     # (ne, b) pivots
+    Ainv: jnp.ndarray   # (ne, b, b)
+    Gl: jnp.ndarray     # (ne, b, b): Ainv @ K(elim_t, keep_t)
+    Gr: jnp.ndarray     # (ne, b, b): Ainv @ K(keep_{t+1}, elim_t)^T
+    has_right: jnp.ndarray  # (ne,) bool: keep_{t+1} exists (not padding)
+
+
 class BCRFactor(NamedTuple):
-    Ainv: jnp.ndarray  # (levels, nb, b, b) inverses of eliminated blocks
-    ds: jnp.ndarray    # (levels, nb, b) pivots (inertia bookkeeping)
-    Gl: jnp.ndarray    # (levels, nb, b, b): A_i^{-1} K(i, i-s)   (left coupling)
-    Gr: jnp.ndarray    # (levels, nb, b, b): A_i^{-1} K(i+s, i)^T (right coupling)
-    elim: jnp.ndarray  # (levels, nb) bool
-    has_r: jnp.ndarray  # (levels, nb) bool: eliminated block had a right neighbor
+    levels: Tuple       # tuple of BCRLevel (static length)
     Ainv_root: jnp.ndarray
     d_root: jnp.ndarray
+    nb: int             # static (pytree aux, not a leaf)
+    b: int              # static
     num_pos: jnp.ndarray
     num_neg: jnp.ndarray
     num_zero: jnp.ndarray
     singular: jnp.ndarray
 
 
-def _levels_for(nb: int) -> int:
-    lv = 0
-    while (1 << lv) < nb:
-        lv += 1
-    return lv
+def _bcr_flatten(f: BCRFactor):
+    children = (f.levels, f.Ainv_root, f.d_root, f.num_pos, f.num_neg,
+                f.num_zero, f.singular)
+    return children, (f.nb, f.b)
 
 
-def _block_inertia(ds_blocks, counted_mask, pivot_tol):
-    """Sign counts of the (nb, b) pivot array over counted blocks."""
+def _bcr_unflatten(aux, children):
+    nb, b = aux
+    levels, Ainv_root, d_root, num_pos, num_neg, num_zero, singular = children
+    return BCRFactor(levels=levels, Ainv_root=Ainv_root, d_root=d_root,
+                     nb=nb, b=b, num_pos=num_pos, num_neg=num_neg,
+                     num_zero=num_zero, singular=singular)
+
+
+jax.tree_util.register_pytree_node(BCRFactor, _bcr_flatten, _bcr_unflatten)
+
+
+def _block_inertia_counts(ds_blocks, pivot_tol):
+    """(pos, neg, zero) pivot counts for a (ne, b) pivot array."""
     dtype = ds_blocks.dtype
-    scale = jnp.maximum(jnp.max(jnp.abs(ds_blocks), axis=1, keepdims=True), 1.0)
+    scale = jnp.maximum(jnp.max(jnp.abs(ds_blocks), axis=-1, keepdims=True), 1.0)
     base = pivot_tol if pivot_tol > 0 else jnp.finfo(dtype).eps
-    zero_tol = base * scale
-    is_zero = jnp.abs(ds_blocks) <= zero_tol
-    pos = jnp.sum(jnp.logical_and(~is_zero, ds_blocks > 0), axis=1)
-    neg = jnp.sum(jnp.logical_and(~is_zero, ds_blocks < 0), axis=1)
-    zer = jnp.sum(is_zero, axis=1)
-    cm = counted_mask
-    return (jnp.sum(jnp.where(cm, pos, 0)).astype(jnp.int32),
-            jnp.sum(jnp.where(cm, neg, 0)).astype(jnp.int32),
-            jnp.sum(jnp.where(cm, zer, 0)).astype(jnp.int32))
+    is_zero = jnp.abs(ds_blocks) <= base * scale
+    pos = jnp.sum(jnp.logical_and(~is_zero, ds_blocks > 0)).astype(jnp.int32)
+    neg = jnp.sum(jnp.logical_and(~is_zero, ds_blocks < 0)).astype(jnp.int32)
+    zer = jnp.sum(is_zero).astype(jnp.int32)
+    return pos, neg, zer
 
 
 def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
                   use_pallas: bool = False) -> BCRFactor:
     nb, b = K.nb, K.b
     dtype = K.diag.dtype
-    levels = _levels_for(nb)
-    idx = jnp.arange(nb)
 
     diag = K.diag
-    C = K.sub  # C[j] = K(j+stride, j) for active j (stride grows per level)
+    C = K.sub  # C[j] couples block j+1 to block j; C[last] unused
+    na = nb
+    eye_b = jnp.eye(b, dtype=dtype)
 
-    Ai_l, ds_l, Gl_l, Gr_l, elim_l, hasr_l = [], [], [], [], [], []
+    levels: List[BCRLevel] = []
     num_pos = jnp.zeros((), jnp.int32)
     num_neg = jnp.zeros((), jnp.int32)
     num_zero = jnp.zeros((), jnp.int32)
+    n_pad_blocks = 0
 
-    for l in range(levels):
-        s = 1 << l
-        is_elim = jnp.logical_and(idx % (2 * s) == s, idx < nb)
-        is_active_next = (idx % (2 * s) == 0)
+    while na > 1:
+        if na % 2 == 1:
+            # pad with an identity block (eliminated at this level, harmless;
+            # its +b positive pivots are subtracted from the inertia below)
+            diag = jnp.concatenate([diag, eye_b[None]], axis=0)
+            C = jnp.concatenate([C, jnp.zeros((1, b, b), dtype)], axis=0)
+            na += 1
+            n_pad_blocks += 1
 
-        ds, Ainv = batched_block_ldlt_inv(diag, use_pallas)
-        p, n_, z = _block_inertia(ds, is_elim, pivot_tol)
+        diag_e = diag[1::2]          # eliminated (ne, b, b)
+        diag_k = diag[0::2]          # kept
+        Ca = C[0::2]                 # K(elim_t, keep_t)
+        Ci = C[1::2]                 # K(keep_{t+1}, elim_t); last may be pad-zero
+        ne = diag_e.shape[0]
+
+        ds, Ainv = batched_block_ldlt_inv(diag_e, use_pallas)
+        p, n_, z = _block_inertia_counts(ds, pivot_tol)
         num_pos += p
         num_neg += n_
         num_zero += z
 
-        left_i = jnp.maximum(idx - s, 0)     # for j active: left eliminated nbr
-        right_i = jnp.minimum(idx + s, nb - 1)
-        has_left = jnp.logical_and(is_active_next, idx - s >= 0)
-        has_right = jnp.logical_and(is_active_next, idx + s < nb)
+        Gl = jnp.einsum("nij,njk->nik", Ainv, Ca)                 # Ainv Ca
+        Gr = jnp.einsum("nij,nkj->nik", Ainv, Ci)                 # Ainv Ci^T
+        has_right = jnp.arange(ne) < (ne - 1) if na // 2 == ne else \
+            jnp.ones((ne,), bool)
+        # keep_t receives from its right eliminated neighbor elim_t:
+        #   diag_k[t] -= Ca_t^T (Ainv Ca)_t
+        updA = jnp.einsum("nki,nkj->nij", Ca, Gl)
+        # keep_{t+1} receives from its left eliminated neighbor elim_t:
+        #   diag_k[t+1] -= Ci_t (Ainv Ci^T)_t
+        updC = jnp.einsum("nij,njk->nik", Ci, Gr)
+        diag_k = diag_k - updA
+        diag_k = diag_k.at[1:].add(-updC[: diag_k.shape[0] - 1])
+        # new coupling: K(keep_{t+1}, keep_t) = -Ci_t (Ainv Ca)_t
+        C_new = -jnp.einsum("nij,njk->nik", Ci, Gl)
 
-        # --- per-eliminated-i solve data (gathers of *old* C) -------------
-        # For eliminated i: a = i-s always exists; c = i+s may not.
-        Ca_of_i = C[left_i]                       # K(i, i-s) gathered at i
-        Gl = jnp.einsum("nij,njk->nik", Ainv, Ca_of_i)   # A_i^{-1} K(i, a)
-        Gr = jnp.einsum("nij,nkj->nik", Ainv, C)         # A_i^{-1} K(c, i)^T
-        elim_has_r = jnp.logical_and(is_elim, idx + s < nb)
-
-        m_e = is_elim[:, None, None]
-        Ai_l.append(jnp.where(m_e, Ainv, 0.0))
-        ds_l.append(jnp.where(is_elim[:, None], ds, 0.0))
-        Gl_l.append(jnp.where(m_e, Gl, 0.0))
-        Gr_l.append(jnp.where(jnp.logical_and(is_elim, elim_has_r)[:, None, None],
-                              Gr, 0.0))
-        elim_l.append(is_elim)
-        hasr_l.append(elim_has_r)
-
-        # --- per-active-j diagonal updates (pure gathers) -----------------
-        Y_r = jnp.einsum("nij,njk->nik", Ainv[right_i], C)  # A_{j+s}^{-1} C[j]
-        # From right neighbor i=j+s (j is its 'a'): A_j -= Ca^T A_i^{-1} Ca,
-        #   Ca = K(i, j) = C[j].
-        updR = jnp.einsum("nki,nkj->nij", C, Y_r)
-        # From left neighbor i=j-s (j is its 'c'): A_j -= Ci A_i^{-1} Ci^T,
-        #   Ci = K(j, i) = C[left_i]; A_i^{-1} Ci^T = Gr gathered at i=left_i.
-        Y_l = jnp.einsum("nij,nkj->nik", Ainv[left_i], C[left_i])
-        updL = jnp.einsum("nij,njk->nik", C[left_i], Y_l)
-
-        diag = (diag
-                - jnp.where(has_right[:, None, None], updR, 0.0)
-                - jnp.where(has_left[:, None, None], updL, 0.0))
-
-        # --- new couplings for the halved chain ---------------------------
-        # K(j+2s, j) = -K(c, i) A_i^{-1} K(i, j) with i=j+s, c=j+2s:
-        #            = -C[i] @ (A_i^{-1} C[j])
-        newC = -jnp.einsum("nij,njk->nik", C[right_i], Y_r)
-        has_c2 = jnp.logical_and(is_active_next, idx + 2 * s < nb)
-        C = jnp.where(is_active_next[:, None, None],
-                      jnp.where(has_c2[:, None, None], newC, 0.0), C)
+        levels.append(BCRLevel(ds=ds, Ainv=Ainv, Gl=Gl, Gr=Gr,
+                               has_right=has_right))
+        diag = diag_k
+        C = C_new[: diag.shape[0]]
+        na = diag.shape[0]
 
     L_root, d_root = _dense_ldlt_block(diag[0])
-    Ainv_root = _block_solve(L_root, d_root, jnp.eye(b, dtype=dtype))
-    p, n_, z = _block_inertia(d_root[None, :], jnp.ones((1,), bool), pivot_tol)
+    Ainv_root = _block_solve(L_root, d_root, eye_b)
+    p, n_, z = _block_inertia_counts(d_root[None, :], pivot_tol)
     num_pos += p
     num_neg += n_
     num_zero += z
+    # padded identity blocks contributed exactly +b positives each
+    num_pos = num_pos - n_pad_blocks * b
 
-    def stk(xs, shape):
-        return jnp.stack(xs) if xs else jnp.zeros((0,) + shape, dtype)
-
-    return BCRFactor(
-        Ainv=stk(Ai_l, (nb, b, b)), ds=stk(ds_l, (nb, b)),
-        Gl=stk(Gl_l, (nb, b, b)), Gr=stk(Gr_l, (nb, b, b)),
-        elim=jnp.stack(elim_l) if elim_l else jnp.zeros((0, nb), bool),
-        has_r=jnp.stack(hasr_l) if hasr_l else jnp.zeros((0, nb), bool),
-        Ainv_root=Ainv_root, d_root=d_root,
-        num_pos=num_pos, num_neg=num_neg, num_zero=num_zero,
-        singular=num_zero > 0)
+    return BCRFactor(levels=tuple(levels), Ainv_root=Ainv_root, d_root=d_root,
+                     nb=nb, b=b, num_pos=num_pos, num_neg=num_neg,
+                     num_zero=num_zero, singular=num_zero > 0)
 
 
 def bcr_solve(fac: BCRFactor, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve K x = rhs using the BCR factorization (forward eliminate rhs,
-    root solve, back substitute)."""
-    levels, nb, b = fac.Ainv.shape[0], fac.Ainv.shape[1], fac.Ainv.shape[2]
+    """Solve K x = rhs with the compacted BCR factorization."""
+    nb, b = fac.nb, fac.b
+    dtype = rhs.dtype
     R = rhs.reshape(nb, b)
-    idx = jnp.arange(nb)
 
-    for l in range(levels):
-        s = 1 << l
-        is_elim = fac.elim[l]
-        left_i = jnp.maximum(idx - s, 0)
-        right_i = jnp.minimum(idx + s, nb - 1)
-        is_active = (idx % (2 * s) == 0)
-        has_left = jnp.logical_and(is_active, idx - s >= 0)
-        has_right = jnp.logical_and(is_active, idx + s < nb)
-        # r_a -= K(a,i) A_i^{-1} r_i = Gl[i]^T r_i  (for j=a, i=right)
-        # r_c -= K(c,i) A_i^{-1} r_i = Gr[i]^T r_i  (for j=c, i=left)
-        updR = jnp.einsum("nji,nj->ni", fac.Gl[l][right_i], R[right_i])
-        updL = jnp.einsum("nji,nj->ni", fac.Gr[l][left_i], R[left_i])
-        R = (R - jnp.where(has_right[:, None], updR, 0.0)
-             - jnp.where(has_left[:, None], updL, 0.0))
+    # Forward: eliminate odd positions level by level, remembering (R_e, the
+    # pre-pad chain length) for the backward pass.
+    stack = []
+    for lvl in fac.levels:
+        prepad = R.shape[0]
+        if prepad % 2 == 1:
+            R = jnp.concatenate([R, jnp.zeros((1, b), dtype)], axis=0)
+        R_e = R[1::2]
+        R_k = R[0::2]
+        # r_keep_t    -= K(keep_t, elim_t) Ainv r_e = Gl^T r_e
+        # r_keep_{t+1}-= K(keep_{t+1}, elim_t) Ainv r_e = Gr^T r_e
+        R_k = R_k - jnp.einsum("nji,nj->ni", lvl.Gl, R_e)
+        updR = jnp.einsum("nji,nj->ni", lvl.Gr, R_e)
+        R_k = R_k.at[1:].add(-updR[: R_k.shape[0] - 1])
+        stack.append((R_e, prepad))
+        R = R_k
 
-    x0 = fac.Ainv_root @ R[0]
-    X = jnp.zeros_like(R).at[0].set(x0)
+    # Root solve.
+    X = (fac.Ainv_root @ R[0])[None, :]
 
-    for l in reversed(range(levels)):
-        s = 1 << l
-        is_elim = fac.elim[l]
-        left_j = jnp.maximum(idx - s, 0)    # 'a' of eliminated i
-        right_j = jnp.minimum(idx + s, nb - 1)  # 'c' of eliminated i
-        y = jnp.einsum("nij,nj->ni", fac.Ainv[l], R)
-        xi = (y - jnp.einsum("nij,nj->ni", fac.Gl[l], X[left_j])
-              - jnp.where(fac.has_r[l][:, None],
-                          jnp.einsum("nij,nj->ni", fac.Gr[l], X[right_j]), 0.0))
-        X = jnp.where(is_elim[:, None], xi, X)
+    # Backward: reconstruct eliminated entries, interleave, unpad.
+    for lvl, (R_e, prepad) in zip(reversed(fac.levels), reversed(stack)):
+        ne = R_e.shape[0]
+        nk = X.shape[0]
+        x_keep = X
+        # x_e = Ainv r_e - Gl x_keep_t - Gr x_keep_{t+1}
+        x_e = jnp.einsum("nij,nj->ni", lvl.Ainv, R_e)
+        x_e = x_e - jnp.einsum("nij,nj->ni", lvl.Gl, x_keep[:ne])
+        # right keep neighbor (t+1); absent for the last eliminated block
+        nbr = jnp.zeros((ne, b), dtype)
+        take = min(ne, nk - 1)
+        if take > 0:
+            nbr = nbr.at[:take].set(x_keep[1:1 + take])
+        x_e = x_e - jnp.einsum("nij,nj->ni", lvl.Gr, nbr)
+        # interleave keep/elim back into the (padded) chain, then unpad
+        total = nk + ne
+        Xn = jnp.zeros((total, b), dtype)
+        Xn = Xn.at[0::2].set(x_keep)
+        Xn = Xn.at[1::2].set(x_e)
+        X = Xn[:prepad]
 
     return X.reshape(-1)
