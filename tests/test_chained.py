@@ -127,3 +127,21 @@ def test_chained_solves_lv1(n):
                                rtol=1e-6, atol=1e-8)
     # iteration counts should be in the same ballpark (same algorithm)
     assert abs(int(res.iter_count) - int(res_flat.iter_count)) <= 5
+
+
+def test_batched_chained_solves():
+    """Chained problems vmap like everything else (the MPC-fleet pattern)."""
+    from ipopt_tpu.modellib import mittelmann_bndry_control_1d
+    from ipopt_tpu.batch import stack_problems, _solve_batched_jit
+
+    opts = Options(print_level=0)
+    insts = []
+    for i in range(3):
+        c = canonicalize_chained(mittelmann_bndry_control_1d(32, 4), opts)
+        insts.append(c._replace(x0=c.x0 + 0.01 * i))
+    nb = stack_problems(insts, opts)
+    res = _solve_batched_jit(nb, opts)
+    assert all(int(s) == int(SolverReturn.SUCCESS)
+               for s in np.asarray(res.status))
+    r0 = solve(insts[0], opts)
+    np.testing.assert_allclose(float(res.obj[0]), float(r0.obj), rtol=1e-10)
