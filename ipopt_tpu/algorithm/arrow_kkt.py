@@ -42,8 +42,8 @@ class ArrowMatrix(NamedTuple):
 
 
 class ArrowFactor(NamedTuple):
-    Ls: jnp.ndarray      # (S, bs, bs)
-    ds: jnp.ndarray      # (S, bs)
+    Ainv: jnp.ndarray    # (S, bs, bs) explicit scenario-block inverses
+    ds: jnp.ndarray      # (S, bs) pivots (inertia)
     Yc: jnp.ndarray      # (S, bs, n0) = K_s^{-1} C_s
     L0: jnp.ndarray      # Schur factor
     d0: jnp.ndarray
@@ -98,9 +98,9 @@ def assemble_arrow(nlp: CanonicalNLP, it: Iterate, Jblocks, Wblocks,
 
 def arrow_factorize(K: ArrowMatrix, pivot_tol: float = 0.0,
                     use_pallas: bool = False) -> ArrowFactor:
-    from ..linalg.block_tridiag import batched_block_ldlt
+    from ..linalg.block_tridiag import batched_block_ldlt_inv
     dtype = K.Ks.dtype
-    Ls, ds = batched_block_ldlt(K.Ks, use_pallas)
+    ds, Ainv = batched_block_ldlt_inv(K.Ks, use_pallas)
     # per-block inertia from the pivots
     scale = jnp.maximum(jnp.max(jnp.abs(ds), axis=1, keepdims=True), 1.0)
     base = pivot_tol if pivot_tol > 0 else jnp.finfo(dtype).eps
@@ -109,23 +109,15 @@ def arrow_factorize(K: ArrowMatrix, pivot_tol: float = 0.0,
     blk_neg = jnp.sum(jnp.logical_and(~is_zero, ds < 0), axis=1)
     blk_zer = jnp.sum(is_zero, axis=1)
 
-    class _F:  # adapter matching the previous vmapped-LDLTResult fields
-        L = Ls
-        d = ds
-        num_pos = blk_pos
-        num_neg = blk_neg
-        num_zero = blk_zer
-
-    facs = _F()
-    Yc = jax.vmap(_solve_blk)(facs.L, facs.d, K.Cs)
+    Yc = jnp.einsum("sij,sjk->sik", Ainv, K.Cs)
     # Schur complement (the einsum's scenario-axis sum lowers to a psum when
     # the S axis is sharded over the mesh).
     Schur = K.K0 - jnp.einsum("sji,sjk->ik", K.Cs, Yc)
     fac0 = ldlt(Schur, pivot_tol)
-    num_pos = jnp.sum(facs.num_pos) + fac0.num_pos
-    num_neg = jnp.sum(facs.num_neg) + fac0.num_neg
-    num_zero = jnp.sum(facs.num_zero) + fac0.num_zero
-    return ArrowFactor(Ls=facs.L, ds=facs.d, Yc=Yc, L0=fac0.L, d0=fac0.d,
+    num_pos = jnp.sum(blk_pos) + fac0.num_pos
+    num_neg = jnp.sum(blk_neg) + fac0.num_neg
+    num_zero = jnp.sum(blk_zer) + fac0.num_zero
+    return ArrowFactor(Ainv=Ainv, ds=ds, Yc=Yc, L0=fac0.L, d0=fac0.d,
                        num_pos=num_pos.astype(jnp.int32),
                        num_neg=num_neg.astype(jnp.int32),
                        num_zero=num_zero.astype(jnp.int32),
@@ -151,9 +143,8 @@ def arrow_solve(fac: ArrowFactor, r0, rs):
     # Condense rhs onto the shared block.
     rhs0 = r0 - jnp.einsum("sji,sj->i", fac.Yc, rs)
     w0 = _solve_blk(fac.L0, fac.d0, rhs0[:, None])[:, 0]
-    # Back-substitute per scenario.
-    u = jax.vmap(lambda L, d, r: _solve_blk(L, d, r[:, None])[:, 0])(
-        fac.Ls, fac.ds, rs)
+    # Back-substitute per scenario (explicit inverses -> batched matvecs).
+    u = jnp.einsum("sij,sj->si", fac.Ainv, rs)
     ws = u - jnp.einsum("sij,j->si", fac.Yc, w0)
     return w0, ws
 

@@ -1,0 +1,317 @@
+"""Restoration phase for the chained (block-tridiagonal) backend.
+
+The restoration NLP of a chained problem is itself chained: each stage's
+variable group widens from [x_k (v)] to [x_k | n_k (mk) | p_k (mk)] and the
+stage constraints become  g_k(x_k, x_{k+1}) - p_k + n_k  with the original
+bounds — so the resto KKT stays block-tridiagonal and runs on the same BCR
+backend.  All reference semantics follow restoration.py (RestoIpoptNLP /
+RestoIterateInitializer / RestoConvergenceCheck); the terminal group's p/n
+slots are dummies driven to zero by the rho-penalty.
+
+The resto template is built at trace time directly as a CanonicalNLP (static
+structure from the original ChainInfo; traced arrays — bounds, x_ref, eta —
+routed through params), mirroring build_resto_nlp for the dense backend.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Iterate, SolverReturn
+from ..problem import CanonicalNLP, CanonicalStructure
+from ..options import Options
+from ..chained import ChainInfo
+from .. import kkt
+from ..kkt import evaluate, slacks, barrier_obj
+from .linesearch import FilterState, filter_acceptable
+from .restoration import RestoResult, _solve_quadratic_pn
+
+
+def build_resto_chained(orig: CanonicalNLP, opts: Options) -> CanonicalNLP:
+    ch: ChainInfo = orig.chain
+    K, v, mk = ch.K, ch.v, ch.mk
+    vr = v + 2 * mk            # resto group width: [x | n | p]
+    nr = (K + 1) * vr
+    dtype = orig.x0.dtype
+    rho = float(opts.resto_penalty_parameter)
+    s = orig.struct
+
+    g_stage = ch.g_stage
+
+    def split_w(w):
+        return w[:v], w[v:v + mk], w[v + mk:]
+
+    def f_stage_r(wk, wk1, th):
+        xk, nk, pk = split_w(wk)
+        xk1, nk1, pk1 = split_w(wk1)
+        dr = 1.0 / jnp.maximum(1.0, jnp.abs(th["xref"]))
+        val = (rho * (jnp.sum(nk) + jnp.sum(pk))
+               + 0.5 * th["eta"][0] * jnp.sum((dr * (xk - th["xref"])) ** 2))
+        # the terminal group's prox + penalty ride on the last stage
+        dr1 = 1.0 / jnp.maximum(1.0, jnp.abs(th["xref1"]))
+        val = val + th["is_last"][0] * (
+            rho * (jnp.sum(nk1) + jnp.sum(pk1))
+            + 0.5 * th["eta"][0] * jnp.sum((dr1 * (xk1 - th["xref1"])) ** 2))
+        return val
+
+    def g_stage_r(wk, wk1, th):
+        # rows in the ORIGINAL problem's scaled space (th["rscale"] carries
+        # the per-row c_scale/d_scale), so the resto bounds c_rhs/d_L/d_U can
+        # be taken scaled from the original canonical form
+        xk, nk, pk = split_w(wk)
+        xk1, _, _ = split_w(wk1)
+        return th["rscale"] * g_stage(xk, xk1, th["theta"]) - pk + nk
+
+    info_r = ChainInfo(K=K, v=vr, mk=mk, f_stage=f_stage_r, g_stage=g_stage_r,
+                       f_last=None, eq_mask=ch.eq_mask)
+
+    # --- static flat structure (same row classification as the original) --
+    struct = CanonicalStructure(
+        n_full=nr, n=nr, m=K * mk, me=s.me, mi=s.mi,
+        eq_idx=s.eq_idx, ineq_idx=s.ineq_idx,
+        free_idx=np.arange(nr, dtype=np.int32),
+        fixed_idx=np.zeros((0,), np.int32),
+        fixed_treatment="make_parameter")
+
+    # --- arrays: interleave orig x-group data with p/n slots --------------
+    def widen(xgrp, pn_val):
+        """(K+1, v) array -> (K+1, vr) with p/n slots filled by pn_val."""
+        pad = jnp.full((K + 1, 2 * mk), pn_val, xgrp.dtype)
+        return jnp.concatenate([xgrp.reshape(K + 1, v), pad], axis=1).reshape(-1)
+
+    def widen_bool(xgrp, pn_flag):
+        pad = jnp.full((K + 1, 2 * mk), pn_flag, bool)
+        return jnp.concatenate([xgrp.reshape(K + 1, v), pad], axis=1).reshape(-1)
+
+    return CanonicalNLP(
+        struct=struct, f=None, g=None,  # evaluation goes through chain info
+        params={"theta": None},         # filled by perform_restoration_chained
+        chain=info_r,
+        x_L=widen(orig.x_L, 0.0), x_U=widen(orig.x_U, 0.0),
+        d_L=orig.d_L, d_U=orig.d_U,
+        has_xL=widen_bool(orig.has_xL, True),
+        has_xU=widen_bool(orig.has_xU, False),
+        has_dL=orig.has_dL, has_dU=orig.has_dU,
+        c_rhs=orig.c_scale * orig.c_rhs,
+        x_fixed=jnp.zeros((nr,), dtype),
+        x0=widen(orig.x0, 1.0),
+        x_L_orig=widen(orig.x_L_orig, 0.0),
+        x_U_orig=widen(orig.x_U_orig, 0.0),
+        obj_scale=jnp.asarray(1.0, dtype),
+        c_scale=jnp.ones((s.me,), dtype), d_scale=jnp.ones((s.mi,), dtype))
+
+
+def _resto_chain_evals(orig: CanonicalNLP, resto: CanonicalNLP):
+    """The resto CanonicalNLP needs flat f/g closures for the generic eval
+    pipeline; build them from the chain info (same pattern as
+    canonicalize_chained's wrappers)."""
+    info: ChainInfo = resto.chain
+    K, vr = info.K, info.v
+
+    def f_flat(xfull, params):
+        X = xfull.reshape(K + 1, vr)
+        return jnp.sum(jax.vmap(info.f_stage)(X[:-1], X[1:], params["theta"]))
+
+    def g_flat(xfull, params):
+        X = xfull.reshape(K + 1, vr)
+        return jax.vmap(info.g_stage)(X[:-1], X[1:],
+                                      params["theta"]).reshape(-1)
+
+    return resto._replace(f=f_flat, g=g_flat)
+
+
+def perform_restoration_chained(orig: CanonicalNLP, opts: Options,
+                                resto_opts: Options, it: Iterate, ev,
+                                outer_mu, fs: FilterState, theta_outer,
+                                phi_outer, ipm_step_fn,
+                                active=True) -> RestoResult:
+    from .solver import IPMState, counters_init
+    from .linesearch import filter_init
+    from .mu import adaptive_mu_init
+    from .quasi_newton import lbfgs_init
+
+    ch: ChainInfo = orig.chain
+    K, v, mk = ch.K, ch.v, ch.mk
+    vr = v + 2 * mk
+    dtype = it.x.dtype
+    s = orig.struct
+
+    c_val = ev.c
+    dms_val = ev.d - it.s
+    theta_entry_inf = jnp.maximum(
+        jnp.max(jnp.abs(c_val), initial=0.0),
+        jnp.max(jnp.abs(dms_val), initial=0.0))
+    resto_mu = jnp.maximum(outer_mu, theta_entry_inf)
+    eta = opts.resto_proximity_weight * jnp.sqrt(resto_mu)
+
+    # --- template + params -------------------------------------------------
+    resto = build_resto_chained(orig, opts)
+    resto = _resto_chain_evals(orig, resto)
+    Xref = it.x.reshape(K + 1, v)
+    theta0 = orig.params["theta"]
+    is_last = (jnp.arange(K) == K - 1).astype(dtype)[:, None]
+    rscale = jnp.ones((K * mk,), dtype)
+    if s.me:
+        rscale = rscale.at[jnp.asarray(s.eq_idx)].set(orig.c_scale)
+    if s.mi:
+        rscale = rscale.at[jnp.asarray(s.ineq_idx)].set(orig.d_scale)
+    params = {"theta": {
+        "theta": theta0,
+        "xref": Xref[:-1],
+        "xref1": Xref[1:],
+        "eta": jnp.broadcast_to(eta, (K, 1)).astype(dtype),
+        "is_last": is_last,
+        "rscale": rscale.reshape(K, mk),
+    }}
+    resto = resto._replace(params=params)
+
+    # --- entry iterate -----------------------------------------------------
+    # Row residual per (stage, row): eq rows use c, ineq rows use d - s.
+    rho = opts.resto_penalty_parameter
+    rows = jnp.zeros((K * mk,), dtype)
+    if s.me:
+        rows = rows.at[jnp.asarray(s.eq_idx)].set(c_val)
+    if s.mi:
+        rows = rows.at[jnp.asarray(s.ineq_idx)].set(dms_val)
+    n_row = jnp.maximum(_solve_quadratic_pn(resto_mu, rho, rows), 1e-30)
+    p_row = jnp.maximum(rows + n_row, 1e-30)
+    NP = jnp.concatenate([n_row.reshape(K, mk), p_row.reshape(K, mk)], axis=1)
+    NP_full = jnp.concatenate([NP, jnp.full((1, 2 * mk), 1.0, dtype)], axis=0)
+    Xr = jnp.concatenate([Xref, NP_full], axis=1).reshape(-1)
+
+    z_pn = resto_mu / NP_full.reshape(K + 1, 2 * mk)
+    zl = jnp.concatenate([jnp.minimum(rho, it.z_L).reshape(K + 1, v),
+                          z_pn], axis=1).reshape(-1)
+    zu = jnp.concatenate([jnp.minimum(rho, it.z_U).reshape(K + 1, v),
+                          jnp.zeros((K + 1, 2 * mk), dtype)], axis=1).reshape(-1)
+    it_r = Iterate(
+        x=Xr, s=it.s,
+        y_c=jnp.zeros_like(it.y_c), y_d=jnp.zeros_like(it.y_d),
+        z_L=zl, z_U=zu,
+        v_L=jnp.minimum(rho, it.v_L), v_U=jnp.minimum(rho, it.v_U))
+
+    ev_r = evaluate(resto, it_r.x)
+    theta0_r = jnp.sum(jnp.abs(ev_r.c)) + jnp.sum(jnp.abs(ev_r.d - it_r.s))
+    z0 = jnp.zeros((), dtype)
+    st_r = IPMState(
+        it=it_r, mu=resto_mu,
+        tau=jnp.maximum(opts.tau_min, 1.0 - resto_mu),
+        iter_count=jnp.zeros((), jnp.int32),
+        delta_w_last=z0,
+        fs=filter_init(opts.max_filter_size, dtype),
+        theta_min=opts.theta_min_fact * jnp.maximum(1.0, theta0_r),
+        theta_max=opts.theta_max_fact * jnp.maximum(1.0, theta0_r),
+        status=jnp.full((), int(SolverReturn.CONTINUE), jnp.int32),
+        acceptable_count=jnp.zeros((), jnp.int32),
+        last_alpha_pr=z0, last_alpha_du=z0,
+        last_ls_count=jnp.zeros((), jnp.int32),
+        last_delta_x=z0, last_step_norm=z0,
+        restoration_count=jnp.zeros((), jnp.int32),
+        ams=adaptive_mu_init(dtype),
+        lbfgs=lbfgs_init(resto.struct.n, 0, dtype, 1.0),
+        tiny_step_count=jnp.zeros((), jnp.int32),
+        wd_active=jnp.zeros((), bool), wd_trials=jnp.zeros((), jnp.int32),
+        wd_shortened_count=jnp.zeros((), jnp.int32), wd_ref=it_r,
+        wd_ref_theta=jnp.asarray(jnp.inf, dtype),
+        wd_ref_phi=jnp.asarray(jnp.inf, dtype),
+        penalty_nu=jnp.asarray(1.0, dtype),
+        soft_resto_count=jnp.zeros((), jnp.int32),
+        counters=counters_init())
+
+    kappa = opts.required_infeasibility_reduction
+    inf_pr_req = jnp.maximum(kappa * theta_entry_inf,
+                             min(opts.tol, opts.constr_viol_tol))
+
+    def extract_x(s_r):
+        return s_r.it.x.reshape(K + 1, vr)[:, :v].reshape(-1)
+
+    def orig_progress(s_r):
+        x = extract_x(s_r)
+        it_o = it._replace(x=x, s=s_r.it.s)
+        f_o = orig.eval_f(x)
+        c_o = orig.eval_c(x)
+        d_o = orig.eval_d(x)
+        inf_pr = jnp.maximum(jnp.max(jnp.abs(c_o), initial=0.0),
+                             jnp.max(jnp.abs(d_o - s_r.it.s), initial=0.0))
+        theta_o = jnp.sum(jnp.abs(c_o)) + jnp.sum(jnp.abs(d_o - s_r.it.s))
+        phi_o = barrier_obj(orig, it_o, f_o, outer_mu, opts.kappa_d)
+        red_ok = inf_pr <= inf_pr_req
+        filt_ok = filter_acceptable(fs, theta_o, phi_o)
+        curr_ok = jnp.logical_or(
+            theta_o <= (1.0 - opts.gamma_theta) * theta_outer,
+            phi_o <= phi_outer - opts.gamma_phi * theta_outer)
+        return jnp.logical_and(red_ok, jnp.logical_and(filt_ok, curr_ok))
+
+    max_resto = jnp.asarray(min(opts.max_iter, opts.max_resto_iter), jnp.int32)
+
+    def cond(s_r):
+        running = s_r.status == int(SolverReturn.CONTINUE)
+        first = s_r.iter_count == 0
+        done_prog = jnp.logical_and(jnp.logical_not(first), orig_progress(s_r))
+        return jnp.logical_and(
+            jnp.asarray(active),
+            jnp.logical_and(running,
+                            jnp.logical_and(jnp.logical_not(done_prog),
+                                            s_r.iter_count < max_resto)))
+
+    def body(s_r):
+        return ipm_step_fn(resto, resto_opts, s_r)
+
+    final = lax.while_loop(cond, body, st_r)
+
+    success = orig_progress(final)
+    resto_converged = jnp.logical_or(
+        final.status == int(SolverReturn.SUCCESS),
+        final.status == int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+    locally_infeasible = jnp.logical_and(jnp.logical_not(success),
+                                         resto_converged)
+    failed = jnp.logical_and(jnp.logical_not(success),
+                             jnp.logical_not(resto_converged))
+
+    # --- return to the main algorithm -------------------------------------
+    x_new = extract_x(final)
+    s_new = final.it.s
+    it_new = it._replace(x=x_new, s=s_new)
+
+    sl_old = slacks(orig, it)
+    sl_new = slacks(orig, it_new)
+
+    def dz_of(z, slo, sln, has):
+        dz = (outer_mu + z * (slo - sln)) / slo - z
+        return jnp.where(has, dz, 0.0)
+
+    dz_L = dz_of(it.z_L, sl_old[0], sl_new[0], orig.has_xL)
+    dz_U = dz_of(it.z_U, sl_old[1], sl_new[1], orig.has_xU)
+    dv_L = dz_of(it.v_L, sl_old[2], sl_new[2], orig.has_dL)
+    dv_U = dz_of(it.v_U, sl_old[3], sl_new[3], orig.has_dU)
+    step = Iterate(x=jnp.zeros_like(x_new), s=jnp.zeros_like(s_new),
+                   y_c=jnp.zeros_like(it.y_c), y_d=jnp.zeros_like(it.y_d),
+                   z_L=dz_L, z_U=dz_U, v_L=dv_L, v_U=dv_U)
+    _, alpha_dual = kkt.fraction_to_boundary(
+        orig, it, step, jnp.maximum(opts.tau_min, 1.0 - outer_mu))
+    z_L = it.z_L + alpha_dual * dz_L
+    z_U = it.z_U + alpha_dual * dz_U
+    v_L = it.v_L + alpha_dual * dv_L
+    v_U = it.v_U + alpha_dual * dv_U
+
+    zmax = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(z_L), initial=0.0),
+                    jnp.max(jnp.abs(z_U), initial=0.0)),
+        jnp.maximum(jnp.max(jnp.abs(v_L), initial=0.0),
+                    jnp.max(jnp.abs(v_U), initial=0.0)))
+    reset = zmax > opts.bound_mult_reset_threshold
+    z_L = jnp.where(reset, jnp.where(orig.has_xL, 1.0, 0.0), z_L)
+    z_U = jnp.where(reset, jnp.where(orig.has_xU, 1.0, 0.0), z_U)
+    v_L = jnp.where(reset, jnp.where(orig.has_dL, 1.0, 0.0), v_L)
+    v_U = jnp.where(reset, jnp.where(orig.has_dU, 1.0, 0.0), v_U)
+
+    it_out = Iterate(x=x_new, s=s_new,
+                     y_c=jnp.zeros_like(it.y_c), y_d=jnp.zeros_like(it.y_d),
+                     z_L=z_L, z_U=z_U, v_L=v_L, v_U=v_U)
+    return RestoResult(it=it_out, success=success,
+                       locally_infeasible=locally_infeasible, failed=failed,
+                       resto_iters=final.iter_count)

@@ -297,8 +297,15 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         step_scale = jnp.maximum(
             step_scale,
             jnp.max(jnp.abs(sr.step.s) / (1.0 + jnp.abs(it.s)), initial=0.0))
-    is_tiny = jnp.logical_and(step_scale <= tiny_tol,
-                              jnp.logical_not(sr.failed))
+    # Only treat a tiny step as terminal progress when the point is close to
+    # feasible; a tiny step at large infeasibility means the regularized
+    # system collapsed and the restoration phase should run instead
+    # (IpBacktrackingLineSearch defers to the fallback in that case).
+    near_feasible = primal_inf <= 10.0 * jnp.maximum(opts.constr_viol_tol,
+                                                     opts.tol)
+    is_tiny = jnp.logical_and(
+        jnp.logical_and(step_scale <= tiny_tol, near_feasible),
+        jnp.logical_not(sr.failed))
     tiny_count = jnp.where(is_tiny, st.tiny_step_count + 1, 0)
 
     # --- Line search ------------------------------------------------------
@@ -388,24 +395,30 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     # be the original problem; skip tracing the nested solver entirely.
     if enable_resto and nlp.struct.me + nlp.struct.mi == 0:
         enable_resto = False
-    # Restoration for the chained backend (a chained resto NLP with p/n slots
-    # widening each stage block) is a later milestone.
-    if enable_resto and nlp.chain is not None:
+    # Restoration for the scenario (arrow) backend is a later milestone.
+    from .step import _backend
+    if enable_resto and _backend(nlp) == "arrow":
         enable_resto = False
 
     if enable_resto:
-        from .restoration import build_resto_nlp, perform_restoration
         from .linesearch import filter_augment
 
-        resto_nlp = build_resto_nlp(nlp, opts)
         resto_opts = opts.resto_options()
         # Entering restoration augments the outer filter with the current
         # point so the algorithm cannot return to it (A-9).
         fs_entry = filter_augment(st.fs, ls.theta_curr, ls.phi_curr,
                                   opts.gamma_theta, opts.gamma_phi)
-        rr = perform_restoration(
-            nlp, resto_nlp, opts, resto_opts, it, ev, mu, fs_entry,
-            ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
+        if _backend(nlp) == "btd":
+            from .chained_resto import perform_restoration_chained
+            rr = perform_restoration_chained(
+                nlp, opts, resto_opts, it, ev, mu, fs_entry,
+                ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
+        else:
+            from .restoration import build_resto_nlp, perform_restoration
+            resto_nlp = build_resto_nlp(nlp, opts)
+            rr = perform_restoration(
+                nlp, resto_nlp, opts, resto_opts, it, ev, mu, fs_entry,
+                ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
         new_it = jax.tree.map(lambda a, b: jnp.where(need_resto, b, a),
                               new_it, rr.it)
         fs_after = jax.tree.map(lambda a, b: jnp.where(need_resto, b, a),

@@ -83,43 +83,26 @@ def pallas_block_ldlt(A: jnp.ndarray, interpret: bool = False):
 # sequential substitution on TPU and dominated the BCR profile).
 # ---------------------------------------------------------------------------
 
-def _ldlt_inv_kernel(a_ref, m_ref, inv_ref):
-    """Factor one (1, b, b) block and also produce its explicit inverse.
+def _gj_inv_kernel(a_ref, inv_ref, d_ref):
+    """One Gauss-Jordan sweep producing BOTH the inverse and the pivot
+    sequence of one (1, b, b) block.
 
-    Inverse via Gauss-Jordan on the VMEM-resident tile: for each pivot k,
-    X <- X - (col_k / d_k) (row_k)  with the pivot row/col held; this is the
-    standard in-place inversion using the same rank-1 update structure as the
-    factorization (2x the flops of the plain factor, still bandwidth-bound).
+    The unpivoted GJ pivot at step k equals the k-th LDL^T pivot (both are
+    ratios of leading principal minors), so a single sweep yields the
+    explicit inverse AND the inertia information — one VMEM-resident working
+    tile, half the flops of a separate factor+invert.
     """
     b = a_ref.shape[-1]
-    M0 = a_ref[0]
-    dtype = M0.dtype
+    dtype = a_ref.dtype
     tiny = jnp.finfo(dtype).tiny
     row_ids = lax.broadcasted_iota(jnp.int32, (b, b), 0)
     col_ids = lax.broadcasted_iota(jnp.int32, (b, b), 1)
 
-    # --- LDL^T factor (same as _ldlt_block_kernel) ---
-    def fbody(k, M):
-        dkk = jnp.sum(jnp.where(jnp.logical_and(row_ids == k, col_ids == k),
-                                M, 0.0))
-        safe_d = jnp.where(jnp.abs(dkk) > tiny, dkk,
-                           jnp.where(dkk >= 0, tiny, -tiny))
-        colk = jnp.sum(jnp.where(col_ids == k, M, 0.0), axis=1, keepdims=True)
-        a_col = jnp.where(row_ids[:, :1] > k, colk, 0.0)
-        M = M - (a_col * a_col.T) / safe_d
-        M = jnp.where(jnp.logical_and(col_ids == k, row_ids > k),
-                      jnp.broadcast_to(a_col / safe_d, (b, b)), M)
-        return M
-
-    M = lax.fori_loop(0, b, fbody, M0)
-    m_ref[0] = M
-
-    # --- Gauss-Jordan inverse of the original block ---
-    # Augmented system run in-place: X starts as A; standard full-pivot-free
-    # Jordan sweep producing A^{-1}.
-    def jbody(k, X):
+    def jbody(k, carry):
+        X, d = carry
         pk = jnp.sum(jnp.where(jnp.logical_and(row_ids == k, col_ids == k),
                                X, 0.0))
+        d = d.at[0, k].set(pk)
         safe_p = jnp.where(jnp.abs(pk) > tiny, pk,
                            jnp.where(pk >= 0, tiny, -tiny))
         col = jnp.sum(jnp.where(col_ids == k, X, 0.0), axis=1, keepdims=True)
@@ -135,28 +118,33 @@ def _ldlt_inv_kernel(a_ref, m_ref, inv_ref):
                        col / safe_p, Xn)
         Xn = jnp.where(jnp.logical_and(is_k_row, is_k_col),
                        1.0 / safe_p, Xn)
-        return Xn
+        return Xn, d
 
-    inv_ref[0] = lax.fori_loop(0, b, jbody, M0)
+    X, d = lax.fori_loop(0, b, jbody,
+                         (a_ref[0], jnp.zeros((1, b), dtype)))
+    inv_ref[0] = X
+    d_ref[...] = d
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_block_ldlt_inv(A: jnp.ndarray, interpret: bool = False):
-    """Batched factor+inverse: A (nb, b, b) -> (L, d, Ainv)."""
+    """Batched pivots+inverse: A (nb, b, b) -> (None, d (nb, b), Ainv).
+
+    (The explicit L factor is not produced — the block-elimination backends
+    only consume pivot signs and inverses.)
+    """
     nb, b, _ = A.shape
-    M, inv = pl.pallas_call(
-        _ldlt_inv_kernel,
+    inv, d = pl.pallas_call(
+        _gj_inv_kernel,
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, b, b), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((1, b, b), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, b, b), lambda i: (i, 0, 0),
+                   pl.BlockSpec((1, b), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((nb, b, b), A.dtype),
-                   jax.ShapeDtypeStruct((nb, b, b), A.dtype)),
+                   jax.ShapeDtypeStruct((nb, b), A.dtype)),
         interpret=interpret,
     )(A)
-    d = jnp.diagonal(M, axis1=1, axis2=2)
-    L = jnp.tril(M, -1) + jnp.eye(b, dtype=A.dtype)[None]
-    return L, d, inv
+    return None, d, inv
