@@ -123,7 +123,7 @@ def _gj_inv_kernel(a_ref, inv_ref, d_ref):
     X, d = lax.fori_loop(0, b, jbody,
                          (a_ref[0], jnp.zeros((1, b), dtype)))
     inv_ref[0] = X
-    d_ref[...] = d
+    d_ref[0] = jnp.broadcast_to(d, (8, b))  # row-padded for tile alignment
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -134,17 +134,17 @@ def pallas_block_ldlt_inv(A: jnp.ndarray, interpret: bool = False):
     only consume pivot signs and inverses.)
     """
     nb, b, _ = A.shape
-    inv, d = pl.pallas_call(
+    inv, d8 = pl.pallas_call(
         _gj_inv_kernel,
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, b, b), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((1, b, b), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, b), lambda i: (i, 0),
+                   pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((nb, b, b), A.dtype),
-                   jax.ShapeDtypeStruct((nb, b), A.dtype)),
+                   jax.ShapeDtypeStruct((nb, 8, b), A.dtype)),
         interpret=interpret,
     )(A)
-    return None, d, inv
+    return None, d8[:, 0, :], inv
