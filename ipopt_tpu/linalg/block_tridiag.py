@@ -126,12 +126,17 @@ def batched_block_ldlt(A, use_pallas: bool = False):
 
 
 def batched_block_ldlt_inv(A, use_pallas: bool = False):
-    """(nb, b, b) -> (d, Ainv): pivots (for inertia) + explicit inverses."""
+    """(nb, b, b) -> (d, Ainv): pivots (for inertia) + explicit inverses.
+
+    TPU path: Pallas factor kernel (VMEM-resident elimination) + one batched
+    triangular-solve pair against I for the inverse.  (A fused Gauss-Jordan
+    kernel producing pivots+inverse in one sweep exists in pallas_ldlt.py but
+    its Mosaic compile time degrades badly for large unaligned b; revisit.)
+    """
     if use_pallas and jax.default_backend() == "tpu":
-        from .pallas_ldlt import pallas_block_ldlt_inv
-        _, d, Ainv = pallas_block_ldlt_inv(A)
-        return d, Ainv
-    L, d = _vfactor_jnp(A)
+        L, d = _vfactor_pallas(A)
+    else:
+        L, d = _vfactor_jnp(A)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
     Ainv = _vsolve(L, d, eye)
     return d, Ainv

@@ -98,11 +98,13 @@ def _gj_inv_kernel(a_ref, inv_ref, d_ref):
     row_ids = lax.broadcasted_iota(jnp.int32, (b, b), 0)
     col_ids = lax.broadcasted_iota(jnp.int32, (b, b), 1)
 
+    cols1 = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
     def jbody(k, carry):
         X, d = carry
         pk = jnp.sum(jnp.where(jnp.logical_and(row_ids == k, col_ids == k),
                                X, 0.0))
-        d = d.at[0, k].set(pk)
+        d = jnp.where(cols1 == k, pk, d)  # masked write (no scatter in Mosaic)
         safe_p = jnp.where(jnp.abs(pk) > tiny, pk,
                            jnp.where(pk >= 0, tiny, -tiny))
         col = jnp.sum(jnp.where(col_ids == k, X, 0.0), axis=1, keepdims=True)
