@@ -120,7 +120,7 @@ def main():
         from ipopt_tpu.modellib import luksan_vlcek1
         from ipopt_tpu.chained import canonicalize_chained
         from ipopt_tpu.algorithm.solver import solve as _solve
-        n_lv, v_lv = 4096, 128
+        n_lv, v_lv = 4096, 32
         lv_nlp = canonicalize_chained(luksan_vlcek1(n_lv, v_lv), opts)
         r = _solve(lv_nlp, opts)
         jax.block_until_ready(r.x)
