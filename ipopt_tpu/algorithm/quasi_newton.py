@@ -53,8 +53,13 @@ def lbfgs_update(st: LBFGSState, s, y, opts) -> LBFGSState:
     skip = sty <= jnp.sqrt(eps) * s_norm * y_norm
 
     hist = st.S.shape[1]
-    S_new = st.S.at[:, st.head].set(s)
-    Y_new = st.Y.at[:, st.head].set(y)
+    # Store the pair normalized by 1/||s||: B is invariant under per-pair
+    # column scaling (U columns scale by c_i while M scales congruently by
+    # diag(c) M diag(c)), and the normalization keeps the compact middle
+    # matrix M well-scaled for the low-rank solver's inertia tests.
+    inv_sn = jnp.where(s_norm > 0, 1.0 / jnp.maximum(s_norm, 1e-300), 1.0)
+    S_new = st.S.at[:, st.head].set(s * inv_sn)
+    Y_new = st.Y.at[:, st.head].set(y * inv_sn)
     sigma_raw = jnp.where(s_norm > 0, sty / jnp.maximum(jnp.dot(s, s), 1e-300),
                           st.sigma)
     sigma_new = jnp.clip(sigma_raw, opts.limited_memory_init_val_min,
@@ -79,8 +84,25 @@ def lbfgs_update(st: LBFGSState, s, y, opts) -> LBFGSState:
             sigma=jnp.where(reset, st.sigma, out.sigma))
 
 
-def lbfgs_dense_W(st: LBFGSState) -> jnp.ndarray:
-    """Materialize the dense B = sigma I - U M^{-1} U^T (compact form)."""
+class LowRankW(NamedTuple):
+    """Compact (diagonal + low-rank) representation of the L-BFGS Hessian
+
+        B = sigma I - U M^{-1} U^T,   U = [sigma S, Y]  (n, 2k)
+
+    consumed by the Sherman-Morrison augmented-system solver
+    (``LowRankAugSystemSolver``, src/Algorithm/IpLowRankAugSystemSolver.cpp),
+    mirroring ``LowRankUpdateSymMatrix`` (src/LinAlg/IpLowRankUpdateSymMatrix.hpp).
+    Invalid history slots are masked: U columns zeroed, M identity there, so
+    the padding contributes equal (+1, 0) inertia to M and to the SMW matrix
+    C = M - U^T K0^{-1} U, keeping the inertia test exact.
+    """
+    sigma: jnp.ndarray   # scalar initial-diagonal scale
+    U: jnp.ndarray       # (n, 2k) masked low-rank factor
+    M: jnp.ndarray       # (2k, 2k) masked middle matrix
+
+
+def lbfgs_compact(st: LBFGSState) -> LowRankW:
+    """Compact-form pieces (sigma, U, M) with ring-buffer masking."""
     n, hist = st.S.shape
     dtype = st.S.dtype
     idx = jnp.arange(hist)
@@ -107,6 +129,12 @@ def lbfgs_dense_W(st: LBFGSState) -> jnp.ndarray:
     M = jnp.where(jnp.outer(vmask, vmask), M,
                   jnp.eye(2 * hist, dtype=dtype))
     U = jnp.concatenate([sig * S, Y], axis=1)
-    Minv_Ut = jnp.linalg.solve(M, U.T)
-    B = sig * jnp.eye(n, dtype=dtype) - U @ Minv_Ut
-    return B
+    return LowRankW(sigma=sig, U=U, M=M)
+
+
+def lbfgs_dense_W(st: LBFGSState) -> jnp.ndarray:
+    """Materialize the dense B = sigma I - U M^{-1} U^T (compact form)."""
+    n = st.S.shape[0]
+    lr = lbfgs_compact(st)
+    Minv_Ut = jnp.linalg.solve(lr.M, lr.U.T)
+    return lr.sigma * jnp.eye(n, dtype=st.S.dtype) - lr.U @ Minv_Ut

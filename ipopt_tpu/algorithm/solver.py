@@ -224,8 +224,15 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             raise NotImplementedError(
                 "limited-memory Hessian with structured KKT backends "
                 "(block-diagonal L-BFGS) is not implemented yet")
-        from .quasi_newton import lbfgs_dense_W
-        W = lbfgs_dense_W(st.lbfgs)
+        if (opts.limited_memory_aug_solver == "sherman-morrison"
+                and opts.linear_solver != "minres"):
+            # LowRankAugSystemSolver path: keep W in compact form; the KKT
+            # solve condenses + applies Sherman-Morrison-Woodbury.
+            from .quasi_newton import lbfgs_compact
+            W = lbfgs_compact(st.lbfgs)
+        else:
+            from .quasi_newton import lbfgs_dense_W
+            W = lbfgs_dense_W(st.lbfgs)
     elif opts.linear_solver == "minres":
         W = None  # matrix-free: Hessian only ever appears as HVPs
     else:

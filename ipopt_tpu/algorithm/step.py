@@ -230,6 +230,10 @@ def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     ``hess`` is backend-shaped: dense (n, n) W, (Wd, Wo) stage blocks, or
     (W00, W0s, Wss) arrow blocks.
     """
+    from .quasi_newton import LowRankW
+    if isinstance(hess, LowRankW):
+        from .lowrank_kkt import lowrank_factorize_kkt
+        return lowrank_factorize_kkt(nlp, opts, it, ev, hess, mu, delta_w_last)
     be = _backend(nlp)
     if be == "btd":
         from .chained_kkt import chained_factorize_kkt
@@ -247,6 +251,9 @@ def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
 def solve_any(nlp: CanonicalNLP, opts: Options, fac, K, parts):
     """Solve the factorized augmented system for the four RHS blocks
     (-r_x, -r_s, -r_c, -r_d); returns ((dx, ds, dy_c, dy_d), residual_ratio)."""
+    from .lowrank_kkt import LowRankKKT, lowrank_solve_refined
+    if isinstance(fac, LowRankKKT):
+        return lowrank_solve_refined(fac, parts, opts)
     be = _backend(nlp)
     if be == "btd":
         from .chained_kkt import pack_rhs, unpack_sol, chained_solve_refined

@@ -265,6 +265,12 @@ class Options:
     limited_memory_init_val_min: float = _opt(1e-8, "Hessian Approximation", "Min sigma.", 0.0, lower_strict=True)
     limited_memory_initialization: str = _opt("scalar1", "Hessian Approximation", "Sigma strategy.",
                                               choices=("scalar1", "scalar2", "scalar3", "scalar4", "constant"))
+    limited_memory_aug_solver: str = _opt(
+        "sherman-morrison", "Hessian Approximation",
+        "Low-rank aug-system treatment: Sherman-Morrison-Woodbury on the "
+        "diagonal base system (LowRankAugSystemSolver) or dense "
+        "materialization (extended-system stand-in).",
+        choices=("sherman-morrison", "extended"))
 
     # ---- Derivative checker (IpTNLPAdapter.cpp:2983) ----
     derivative_test: str = _opt("none", "Derivative Checker", "FD-vs-AD verification mode.",
