@@ -133,6 +133,7 @@ def perform_restoration_chained(orig: CanonicalNLP, opts: Options,
     from .linesearch import filter_init
     from .mu import adaptive_mu_init
     from .quasi_newton import lbfgs_init
+    from .cg_penalty import cg_init
 
     ch: ChainInfo = orig.chain
     K, v, mk = ch.K, ch.v, ch.mk
@@ -220,6 +221,7 @@ def perform_restoration_chained(orig: CanonicalNLP, opts: Options,
         wd_ref_phi=jnp.asarray(jnp.inf, dtype),
         penalty_nu=jnp.asarray(1.0, dtype),
         soft_resto_count=jnp.zeros((), jnp.int32),
+        cg=cg_init(resto_opts, dtype),
         counters=counters_init())
 
     kappa = opts.required_infeasibility_reduction

@@ -49,6 +49,7 @@ from ..kkt import evaluate, slacks, barrier_obj
 from .linesearch import FilterState, filter_acceptable
 from .mu import adaptive_mu_init
 from .quasi_newton import lbfgs_init
+from .cg_penalty import cg_init as _cg_init_resto
 
 
 def build_resto_nlp(orig: CanonicalNLP, opts: Options) -> CanonicalNLP:
@@ -239,6 +240,7 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
         wd_ref_phi=jnp.asarray(jnp.inf, dtype),
         penalty_nu=jnp.asarray(1.0, dtype),
         soft_resto_count=jnp.zeros((), jnp.int32),
+        cg=_cg_init_resto(resto_opts, dtype),
         counters=counters_init())
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry
@@ -279,7 +281,38 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
                                             s_r.iter_count < max_resto)))
 
     def body(s_r: IPMState):
-        return ipm_step_fn(rnlp, resto_opts, s_r)
+        s_next = ipm_step_fn(rnlp, resto_opts, s_r)
+        # --- Restoration-of-restoration (RestoRestoPhase,
+        #     src/Algorithm/IpRestoRestoPhase.{hpp,cpp}): the resto NLP is
+        #     always feasible — c(x) - p + n = 0 has a closed-form (p, n) for
+        #     any x — so when the nested line search fails, reset (p, n) and
+        #     their multipliers via solve_quadratic at the current x and
+        #     continue, bounded by max_resto_resto_iters activations.
+        fail = jnp.logical_or(
+            s_next.status == int(SolverReturn.ERROR_IN_STEP_COMPUTATION),
+            s_next.status == int(SolverReturn.RESTORATION_FAILURE))
+        do_rr = jnp.logical_and(
+            fail, s_next.restoration_count < opts.max_resto_resto_iters)
+        x_cur = s_next.it.x[:n]
+        c_o = orig.eval_c(x_cur)
+        d_o = orig.eval_d(x_cur)
+        it_outer_like = Iterate(
+            x=x_cur, s=s_next.it.s,
+            y_c=jnp.zeros((me,), dtype), y_d=jnp.zeros((mi,), dtype),
+            z_L=s_next.it.z_L[:n], z_U=s_next.it.z_U[:n],
+            v_L=s_next.it.v_L, v_U=s_next.it.v_U)
+        it_rr = resto_initial_iterate(orig, opts, it_outer_like, c_o,
+                                      d_o - s_next.it.s, s_next.mu)
+        from .linesearch import filter_init as _finit
+        return s_next._replace(
+            it=jax.tree.map(lambda a, b: jnp.where(do_rr, b, a),
+                            s_next.it, it_rr),
+            status=jnp.where(do_rr, int(SolverReturn.CONTINUE),
+                             s_next.status),
+            restoration_count=s_next.restoration_count
+            + jnp.where(do_rr, 1, 0),
+            fs=jax.tree.map(lambda a, b: jnp.where(do_rr, b, a), s_next.fs,
+                            _finit(opts.max_filter_size, dtype)))
 
     final = lax.while_loop(cond, body, st_r)
 

@@ -39,6 +39,7 @@ from .mu import (MuState, mu_init_state, monotone_mu_update_components,
                  AdaptiveMuState, adaptive_mu_init, adaptive_mu_update,
                  loqo_mu, probing_mu, quality_function_mu)
 from .quasi_newton import lbfgs_init
+from .cg_penalty import cg_init as _cg_init
 from .init import default_initialize, warm_start_initialize
 from .convergence import check_convergence
 
@@ -93,6 +94,7 @@ class IPMState(NamedTuple):
     wd_ref_phi: jnp.ndarray
     penalty_nu: jnp.ndarray  # l1-penalty acceptor parameter (PenaltyLSAcceptor)
     soft_resto_count: jnp.ndarray  # consecutive soft-restoration steps
+    cg: Any  # CGState (Chen-Goldfarb penalty carry; minimal when unused)
 
 
 class SolveResult(NamedTuple):
@@ -243,6 +245,15 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                                            or opts.mehrotra_algorithm):
         raise NotImplementedError("adaptive mu with linear_solver='minres' "
                                   "is not supported yet")
+    if opts.line_search_method == "cg-penalty" and (
+            opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm
+            or opts.linear_solver == "minres"):
+        # The reference asserts !FreeMuMode for the CG penalty search
+        # (IpCGSearchDirCalc.cpp:144).
+        raise NotImplementedError("cg-penalty requires monotone mu and a "
+                                  "direct linear solver")
+    cg_state = st.cg
+    cg_aux = None
 
     if opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm:
         # Free-mode mu from an oracle each iteration (AdaptiveMuUpdate).
@@ -290,6 +301,14 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         if opts.linear_solver == "minres":
             from .matrix_free import mf_search_direction
             sr = mf_search_direction(nlp, opts, it, ev, mu, st.delta_w_last)
+        elif opts.line_search_method == "cg-penalty":
+            if nlp.chain is not None:
+                raise NotImplementedError(
+                    "cg-penalty with structured KKT backends is not "
+                    "implemented yet")
+            from .cg_penalty import cg_search_direction
+            sr, cg_state, cg_aux = cg_search_direction(
+                nlp, opts, it, ev, W, mu, st.delta_w_last, st.cg)
         else:
             sr = compute_search_direction(nlp, opts, it, ev, W, mu,
                                           st.delta_w_last)
@@ -316,8 +335,14 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     tiny_count = jnp.where(is_tiny, st.tiny_step_count + 1, 0)
 
     # --- Line search ------------------------------------------------------
-    ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
-                     st.theta_min, st.theta_max, penalty_nu=st.penalty_nu)
+    if opts.line_search_method == "cg-penalty":
+        from .cg_penalty import cg_line_search
+        ls, cg_state = cg_line_search(nlp, opts, it, ev, sr, mu, tau,
+                                      cg_state, cg_aux)
+        ls = ls._replace(filter=st.fs)  # the CG method keeps no filter
+    else:
+        ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
+                         st.theta_min, st.theta_max, penalty_nu=st.penalty_nu)
 
     # --- Watchdog (Start/StopWatchDog, IpBacktrackingLineSearch) ----------
     # In watchdog mode the full fraction-to-boundary step is taken on trust;
@@ -536,6 +561,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         wd_ref_theta=wd_ref_theta_next, wd_ref_phi=wd_ref_phi_next,
         penalty_nu=ls.penalty_nu,
         soft_resto_count=soft_count,
+        cg=cg_state,
         counters=Counters(
             n_obj_evals=st.counters.n_obj_evals + 1 + ls.n_backtracks,
             n_grad_evals=st.counters.n_grad_evals + 2,
@@ -583,6 +609,7 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         wd_ref_phi=jnp.asarray(jnp.inf, dtype),
         penalty_nu=jnp.asarray(1.0, dtype),
         soft_resto_count=jnp.zeros((), jnp.int32),
+        cg=_cg_init(opts, dtype),
         counters=counters_init())
 
 

@@ -123,19 +123,26 @@ class FactorResult(NamedTuple):
 
 
 def factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
-                  W, mu, delta_w_last) -> FactorResult:
+                  W, mu, delta_w_last, delta_cd_override=None) -> FactorResult:
     """Assemble + factorize the augmented system with the inertia-correction
     retry loop.  The matrix is independent of the barrier parameter (mu enters
     only delta_c's magnitude), so one factorization serves any number of
-    right-hand sides — the adaptive-mu oracles exploit this."""
+    right-hand sides — the adaptive-mu oracles exploit this.
+
+    ``delta_cd_override``: replaces the mu-based Jacobian regularization value
+    (used by the CG-penalty method, whose CGPerturbationHandler ties delta_c
+    to ||(c, d-s)||_2 / kkt_penalty — IpCGPerturbationHandler.cpp)."""
     n, mi, me = nlp.n, nlp.mi, nlp.me
     dtype = it.x.dtype
     sig = sigmas(nlp, it)
 
     expected_pos = n + mi
     expected_neg = me + mi
-    delta_cd = (opts.jacobian_regularization_value
-                * mu ** opts.jacobian_regularization_exponent)
+    if delta_cd_override is not None:
+        delta_cd = delta_cd_override
+    else:
+        delta_cd = (opts.jacobian_regularization_value
+                    * mu ** opts.jacobian_regularization_exponent)
 
     def factor(delta_x, delta_c):
         K = assemble_aug_system(W, ev.J_c, ev.J_d, sig, delta_x, delta_x,

@@ -196,6 +196,37 @@ class Options:
     max_filter_resets: int = _opt(5, "Line Search", "Max filter reset heuristic count.", 0)
     filter_reset_trigger: int = _opt(5, "Line Search", "Iterations triggering filter reset.", 1)
     accept_every_trial_step: bool = _opt(False, "Line Search", "Disable line search (full steps).")
+
+    # ---- Chen-Goldfarb penalty line search (src/contrib/CGPenalty/:
+    #      IpCGSearchDirCalc.cpp:42-112, IpCGPenaltyLSAcceptor.cpp:47-170) ----
+    penalty_init_min: float = _opt(1.0, "CG Penalty", "Min initial penalty.", 0.0, lower_strict=True)
+    penalty_init_max: float = _opt(1e5, "CG Penalty", "Max initial penalty.", 0.0, lower_strict=True)
+    penalty_max: float = _opt(1e30, "CG Penalty", "Max penalty parameter.", 0.0, lower_strict=True)
+    pen_des_fact: float = _opt(2e-1, "CG Penalty", "Penalty descent factor.", 0.0, lower_strict=True)
+    kappa_x_dis: float = _opt(1e2, "CG Penalty", "Fast-direction x-discrepancy test.", 0.0, lower_strict=True)
+    kappa_y_dis: float = _opt(1e4, "CG Penalty", "Fast-direction y-discrepancy test.", 0.0, lower_strict=True)
+    vartheta: float = _opt(0.5, "CG Penalty", "Fast-direction test exponent.", 0.0, lower_strict=True)
+    delta_y_max: float = _opt(1e12, "CG Penalty", "Fast-direction y-norm cap.", 0.0, lower_strict=True)
+    fast_des_fact: float = _opt(1e-1, "CG Penalty", "Fast-direction descent test factor.", 0.0, lower_strict=True)
+    never_use_fact_cgpen_direction: bool = _opt(False, "CG Penalty", "Disable the fast CG direction.")
+    never_use_piecewise_penalty_ls: bool = _opt(False, "CG Penalty", "Disable PLPF acceptance.")
+    eta_penalty: float = _opt(1e-8, "CG Penalty", "Armijo relaxation for the penalty function.", 0.0, 0.5, True, True)
+    penalty_update_infeasibility_tol: float = _opt(1e-9, "CG Penalty", "Infeasibility threshold in penalty update.", 0.0, lower_strict=True)
+    eta_min: float = _opt(1e1, "CG Penalty", "Min eta tolerance in penalty update.", 0.0, lower_strict=True)
+    pen_theta_max_fact: float = _opt(1e4, "CG Penalty", "Constraint-violation cap factor.", 0.0, lower_strict=True)
+    penalty_update_compl_tol: float = _opt(1e1, "CG Penalty", "Complementarity window in penalty update.", 0.0, lower_strict=True)
+    chi_hat: float = _opt(2.0, "CG Penalty", "Penalty increase factor (infeasible).", 0.0, lower_strict=True)
+    chi_tilde: float = _opt(5.0, "CG Penalty", "Penalty increase factor (near-feasible).", 0.0, lower_strict=True)
+    chi_cup: float = _opt(1.5, "CG Penalty", "Penalty vs multiplier-norm factor.", 0.0, lower_strict=True)
+    gamma_hat: float = _opt(0.04, "CG Penalty", "eta init factor.", 0.0, lower_strict=True)
+    gamma_tilde: float = _opt(4.0, "CG Penalty", "eta init cap.", 0.0, lower_strict=True)
+    epsilon_c: float = _opt(1e-2, "CG Penalty", "Infeasibility switch in penalty increase.", 0.0, lower_strict=True)
+    piecewisepenalty_gamma_obj: float = _opt(1e-13, "CG Penalty", "PLPF objective margin.", 0.0, lower_strict=True)
+    piecewisepenalty_gamma_infeasi: float = _opt(1e-13, "CG Penalty", "PLPF infeasibility margin.", 0.0, lower_strict=True)
+    min_alpha_primal: float = _opt(1e-13, "CG Penalty", "Force-accept below this step size.", 0.0, lower_strict=True)
+    cg_theta_min: float = _opt(1e-6, "CG Penalty", "Infeasibility below which PLPF requires barrier decrease "
+                               "(reference option name: theta_min).", 0.0, lower_strict=True)
+    max_piece_number: int = _opt(16, "CG Penalty", "PLPF list capacity (static; reference hardcodes 100).", 1)
     accept_after_max_steps: int = _opt(-1, "Line Search", "Accept after N backtracks regardless.", -1)
     watchdog_shortened_iter_trigger: int = _opt(10, "Line Search", "Shortened iters before watchdog.", 0)
     watchdog_trial_iter_max: int = _opt(3, "Line Search", "Max watchdog trial iterations.", 1)
@@ -215,6 +246,10 @@ class Options:
     start_with_resto: bool = _opt(False, "Restoration", "Start directly in restoration.")
     required_infeasibility_reduction: float = _opt(0.9, "Restoration", "Required theta reduction in resto.", 0.0, 1.0, upper_strict=True)
     max_resto_iter: int = _opt(3000000, "Restoration", "Max cumulative restoration iterations.", 0)
+    max_resto_resto_iters: int = _opt(
+        3, "Restoration",
+        "Max restoration-of-restoration activations (RestoRestoPhase resets "
+        "of the p/n slacks inside one nested resto solve; TPU-specific bound).", 0)
     resto_penalty_parameter: float = _opt(1000.0, "Restoration", "rho in the resto objective.", 0.0, lower_strict=True)
     resto_proximity_weight: float = _opt(1.0, "Restoration", "Weight of proximity term (zeta scale).", 0.0)
     bound_mult_reset_threshold: float = _opt(1000.0, "Restoration", "Reset z after resto if larger.", 0.0)
@@ -313,11 +348,17 @@ class Options:
     # resto sub-algorithm gets its own OptionsList with the "resto." prefix and
     # altered defaults (resto.constr_mult_init_max=0 etc.).
     def resto_options(self) -> "Options":
-        return self.replace(
+        overrides = dict(
             constr_mult_init_max=0.0,
             expect_infeasible_problem=False,
             nlp_scaling_method="none",
         )
+        # The CG penalty acceptor never runs a restoration phase of its own
+        # (CGPenaltyLSAcceptor::NeverRestorationPhase); the nested resto
+        # algorithm always uses the filter search.
+        if self.line_search_method == "cg-penalty":
+            overrides["line_search_method"] = "filter"
+        return self.replace(**overrides)
 
 
 def spec_of(name: str) -> OptionSpec:
