@@ -704,6 +704,20 @@ def solve(problem, options: Optional[Options] = None, it0=None,
         opts = opts.replace(max_soc=0)
     from ..chained import ChainedNLP, canonicalize_chained
     from ..parallel.scenario import ScenarioNLP, canonicalize_scenario
+    if isinstance(problem, NLP) and opts.dependency_detector != "none":
+        # TNLPAdapter dependent-equality detection (IpTNLPAdapter.cpp:628):
+        # detect at x0, report, and take the rows out (TNLPReducer path).
+        from ..interfaces.dependency import detect_dependent_constraints
+        deps = detect_dependent_constraints(problem, opts)
+        if deps:
+            if opts.print_level > 0:
+                print(f"Detected {len(deps)} linearly dependent equality "
+                      f"constraints; taking those out.")
+                if opts.print_level >= 5:
+                    for k, i in enumerate(deps):
+                        print(f"c_dep[{k}] = {i}")
+            from ..interfaces.transforms import reduce_constraints
+            problem = reduce_constraints(problem, deps)
     if isinstance(problem, NLP):
         cnlp = canonicalize(problem, opts)
     elif isinstance(problem, ChainedNLP):

@@ -246,6 +246,16 @@ class Options:
     start_with_resto: bool = _opt(False, "Restoration", "Start directly in restoration.")
     required_infeasibility_reduction: float = _opt(0.9, "Restoration", "Required theta reduction in resto.", 0.0, 1.0, upper_strict=True)
     max_resto_iter: int = _opt(3000000, "Restoration", "Max cumulative restoration iterations.", 0)
+    dependency_detector: str = _opt(
+        "none", "NLP",
+        "Detect linearly dependent equality constraints at x0 and remove "
+        "them (TNLPAdapter; solver-name choices map to the TPU-native "
+        "Gram-Schmidt detector).",
+        choices=("none", "qr", "mumps", "wsmp", "ma28"))
+    dependency_detection_with_rhs: bool = _opt(
+        False, "NLP",
+        "Consider right-hand sides during dependency detection (keep "
+        "inconsistent duplicates).")
     max_resto_resto_iters: int = _opt(
         3, "Restoration",
         "Max restoration-of-restoration activations (RestoRestoPhase resets "
