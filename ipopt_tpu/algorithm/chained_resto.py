@@ -222,6 +222,8 @@ def perform_restoration_chained(orig: CanonicalNLP, opts: Options,
         penalty_nu=jnp.asarray(1.0, dtype),
         soft_resto_count=jnp.zeros((), jnp.int32),
         cg=cg_init(resto_opts, dtype),
+        tr_omega=jnp.asarray(resto_opts.omega_init, dtype),
+        nu_low=jnp.asarray(resto_opts.nu_low_init, dtype),
         counters=counters_init())
 
     kappa = opts.required_infeasibility_reduction

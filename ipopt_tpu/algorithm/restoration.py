@@ -241,6 +241,8 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
         penalty_nu=jnp.asarray(1.0, dtype),
         soft_resto_count=jnp.zeros((), jnp.int32),
         cg=_cg_init_resto(resto_opts, dtype),
+        tr_omega=jnp.asarray(resto_opts.omega_init, dtype),
+        nu_low=jnp.asarray(resto_opts.nu_low_init, dtype),
         counters=counters_init())
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry

@@ -95,6 +95,8 @@ class IPMState(NamedTuple):
     penalty_nu: jnp.ndarray  # l1-penalty acceptor parameter (PenaltyLSAcceptor)
     soft_resto_count: jnp.ndarray  # consecutive soft-restoration steps
     cg: Any  # CGState (Chen-Goldfarb penalty carry; minimal when unused)
+    tr_omega: jnp.ndarray   # inexact normal-step trust-region factor
+    nu_low: jnp.ndarray     # flexible-penalty lower parameter (inexact)
 
 
 class SolveResult(NamedTuple):
@@ -235,7 +237,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         else:
             from .quasi_newton import lbfgs_dense_W
             W = lbfgs_dense_W(st.lbfgs)
-    elif opts.linear_solver == "minres":
+    elif opts.linear_solver == "minres" or opts.inexact_algorithm:
         W = None  # matrix-free: Hessian only ever appears as HVPs
     else:
         from .step import compute_hessian
@@ -252,8 +254,16 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         # (IpCGSearchDirCalc.cpp:144).
         raise NotImplementedError("cg-penalty requires monotone mu and a "
                                   "direct linear solver")
+    if opts.inexact_algorithm and (opts.mu_strategy == "adaptive"
+                                   or opts.mehrotra_algorithm):
+        # The reference builds the inexact algorithm with monotone mu only
+        # (IpInexactAlgBuilder.cpp).
+        raise NotImplementedError("inexact_algorithm requires monotone mu")
     cg_state = st.cg
     cg_aux = None
+    new_tr_omega = st.tr_omega
+    nu_low_state = st.nu_low
+    inaux = None
 
     if opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm:
         # Free-mode mu from an oracle each iteration (AdaptiveMuUpdate).
@@ -298,7 +308,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         ms = monotone_mu_update_components(
             opts, MuState(st.mu, st.tau), dual_inf / s_d, primal_inf, compl_fn)
         mu, tau = ms.mu, ms.tau
-        if opts.linear_solver == "minres":
+        if opts.inexact_algorithm:
+            from .inexact import inexact_search_direction
+            sr, new_tr_omega, inaux = inexact_search_direction(
+                nlp, opts, it, ev, mu, st.delta_w_last, st.tr_omega)
+        elif opts.linear_solver == "minres":
             from .matrix_free import mf_search_direction
             sr = mf_search_direction(nlp, opts, it, ev, mu, st.delta_w_last)
         elif opts.line_search_method == "cg-penalty":
@@ -335,7 +349,12 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     tiny_count = jnp.where(is_tiny, st.tiny_step_count + 1, 0)
 
     # --- Line search ------------------------------------------------------
-    if opts.line_search_method == "cg-penalty":
+    if opts.inexact_algorithm:
+        from .inexact import inexact_line_search
+        ls, _nu_new, nu_low_state = inexact_line_search(
+            nlp, opts, it, ev, sr, mu, tau, st.penalty_nu, st.nu_low, inaux)
+        ls = ls._replace(filter=st.fs)  # penalty search keeps no filter
+    elif opts.line_search_method == "cg-penalty":
         from .cg_penalty import cg_line_search
         ls, cg_state = cg_line_search(nlp, opts, it, ev, sr, mu, tau,
                                       cg_state, cg_aux)
@@ -562,6 +581,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         penalty_nu=ls.penalty_nu,
         soft_resto_count=soft_count,
         cg=cg_state,
+        tr_omega=new_tr_omega,
+        nu_low=nu_low_state,
         counters=Counters(
             n_obj_evals=st.counters.n_obj_evals + 1 + ls.n_backtracks,
             n_grad_evals=st.counters.n_grad_evals + 2,
@@ -607,9 +628,12 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         wd_shortened_count=jnp.zeros((), jnp.int32), wd_ref=it,
         wd_ref_theta=jnp.asarray(jnp.inf, dtype),
         wd_ref_phi=jnp.asarray(jnp.inf, dtype),
-        penalty_nu=jnp.asarray(1.0, dtype),
+        penalty_nu=jnp.asarray(
+            opts.nu_init if opts.inexact_algorithm else 1.0, dtype),
         soft_resto_count=jnp.zeros((), jnp.int32),
         cg=_cg_init(opts, dtype),
+        tr_omega=jnp.asarray(opts.omega_init, dtype),
+        nu_low=jnp.asarray(opts.nu_low_init, dtype),
         counters=counters_init())
 
 
@@ -699,11 +723,20 @@ def solve(problem, options: Optional[Options] = None, it0=None,
         from ..options import register_callback
         opts = opts.replace(
             callback_token=register_callback(intermediate_callback))
-    if opts.linear_solver == "minres":
+    if opts.linear_solver == "minres" or opts.inexact_algorithm:
         # no saved factorization to reuse for second-order corrections
         opts = opts.replace(max_soc=0)
     from ..chained import ChainedNLP, canonicalize_chained
     from ..parallel.scenario import ScenarioNLP, canonicalize_scenario
+    if isinstance(problem, NLP) and opts.inexact_algorithm:
+        # The inexact algorithm requires variable bounds as inequality rows
+        # (InexactAlgorithmBuilder requires NLPBoundsRemover,
+        # IpInexactAlgBuilder.cpp:64-130): with Sigma_x = 0 the KKT operator's
+        # barrier terms live only in the slack-scaled s-block, where
+        # S Sigma_s S ~ mu stays bounded — otherwise the unpreconditioned
+        # Krylov solves face a 1/slack^2 condition blowup near convergence.
+        from ..interfaces.transforms import remove_bounds
+        problem = remove_bounds(problem)
     if isinstance(problem, NLP) and opts.dependency_detector != "none":
         # TNLPAdapter dependent-equality detection (IpTNLPAdapter.cpp:628):
         # detect at x0, report, and take the rows out (TNLPReducer path).

@@ -197,6 +197,31 @@ class Options:
     filter_reset_trigger: int = _opt(5, "Line Search", "Iterations triggering filter reset.", 1)
     accept_every_trial_step: bool = _opt(False, "Line Search", "Disable line search (full steps).")
 
+    # ---- Inexact algorithm (src/Algorithm/Inexact/, Curtis-Schenk-Waechter;
+    #      IpInexactAlgBuilder.cpp:64-130 gate, IpInexactDoglegNormal.cpp:30-45,
+    #      IpInexactPDTerminationTester.cpp:31-80, IpInexactLSAcceptor.cpp) ----
+    inexact_algorithm: bool = _opt(False, "Inexact", "Normal/tangential decomposition with "
+                                   "inexact iterative KKT solves (PDE-scale mode).")
+    omega_init: float = _opt(100.0, "Inexact", "Initial normal-step trust-region factor.", 0.0, lower_strict=True)
+    omega_max: float = _opt(1e20, "Inexact", "Max trust-region factor.", 0.0, lower_strict=True)
+    tcc_psi: float = _opt(1e-1, "Inexact", "Tangential component condition psi.", 0.0, lower_strict=True)
+    tcc_theta: float = _opt(1e-12, "Inexact", "Tangential component condition theta.", 0.0, lower_strict=True)
+    tcc_theta_mu_exponent: float = _opt(0.0, "Inexact", "mu exponent with tcc_theta.", 0.0)
+    tcc_zeta: float = _opt(1e-1, "Inexact", "Tangential component condition zeta.", 0.0, lower_strict=True)
+    tt_kappa1: float = _opt(1e-3, "Inexact", "Termination tests 1/3 kappa1.", 0.0, lower_strict=True)
+    tt_kappa2: float = _opt(1e-1, "Inexact", "Termination test 2 kappa2.", 0.0, lower_strict=True)
+    tt_eps2: float = _opt(1.0, "Inexact", "Termination test 2 eps2.", 0.0, lower_strict=True)
+    tt_eps3: float = _opt(0.9, "Inexact", "Termination test 3 eps3.", 0.0, lower_strict=True)
+    inexact_desired_pd_residual: float = _opt(1e-3, "Inexact", "Target relative PD residual.", 0.0, lower_strict=True)
+    inexact_desired_pd_residual_iter: int = _opt(1, "Inexact", "Iterations for desired residual.", 0)
+    nu_init: float = _opt(1e-6, "Inexact", "Initial penalty parameter (PenaltyLSAcceptor).", 0.0, lower_strict=True)
+    nu_inc: float = _opt(1e-4, "Inexact", "Penalty increment.", 0.0, lower_strict=True)
+    rho: float = _opt(1e-1, "Inexact", "Penalty update formula value.", 0.0, 1.0, True, True)
+    flexible_penalty_function: bool = _opt(True, "Inexact", "Curtis-Nocedal flexible penalty.")
+    nu_low_init: float = _opt(1e-6, "Inexact", "Initial lower penalty (flexible).", 0.0, lower_strict=True)
+    nu_low_fact: float = _opt(1e-2, "Inexact", "Lower-penalty update factor.", 0.0, lower_strict=True)
+    nu_update_inf_skip_tol: float = _opt(1e-9, "Inexact", "Skip nu update below this infeasibility.", 0.0, lower_strict=True)
+
     # ---- Chen-Goldfarb penalty line search (src/contrib/CGPenalty/:
     #      IpCGSearchDirCalc.cpp:42-112, IpCGPenaltyLSAcceptor.cpp:47-170) ----
     penalty_init_min: float = _opt(1.0, "CG Penalty", "Min initial penalty.", 0.0, lower_strict=True)
