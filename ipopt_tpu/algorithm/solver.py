@@ -185,10 +185,10 @@ def _print_iter(iter_count, f, inf_pr, inf_du, mu, dnorm, delta_x, alpha_du,
         line = (f"{int(i):4d} {float(f):16.7e} {float(pr):8.2e} {float(du):8.2e}"
                 f" {float(lgmu):5.1f} {float(dn):8.2e} {rg_s} {float(adu):8.2e}"
                 f" {float(apr):8.2e} {int(ls):3d}")
-        print(line)
-        if output_file:
-            with open(output_file, "a") as fh:
-                fh.write(line + "\n")
+        from ..journalist import (default_journalist, EJournalLevel,
+                                  EJournalCategory)
+        default_journalist().printf(EJournalLevel.J_ITERSUMMARY,
+                                    EJournalCategory.J_MAIN, line + "\n")
 
     jax.debug.callback(cb, iter_count, f, inf_pr, inf_du, lg_mu, dnorm, lg_rg,
                        alpha_du, alpha_pr, ls_count, ordered=True)
@@ -491,7 +491,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     step_norm = jnp.maximum(jnp.max(jnp.abs(sr.step.x), initial=0.0),
                             jnp.max(jnp.abs(sr.step.s), initial=0.0))
 
-    if opts.print_level >= 5:
+    if opts.print_level >= 5 or (opts.output_file
+                                 and opts.file_print_level >= 5):
         _print_iter(st.iter_count, ev.f, primal_inf, dual_inf, mu, step_norm,
                     sr.delta_x, ls.alpha_dual, ls.alpha_primal, ls.n_backtracks)
 
@@ -502,17 +503,50 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     if user_cb is not None:
         from jax.experimental import io_callback
 
-        def _cb(i, f, pr, du, m_, apr, adu, lsn):
-            keep = user_cb(iter_count=int(i), obj_value=float(f),
-                           inf_pr=float(pr), inf_du=float(du), mu=float(m_),
-                           alpha_pr=float(apr), alpha_du=float(adu),
-                           ls_trials=int(lsn))
-            return np.bool_(keep is not False)
+        if opts.callback_curr_iterate:
+            # get_curr_iterate / get_curr_violations parity (IpTNLP.hpp:665-793
+            # and the reference's test/getcurr.cpp regression): hand the user
+            # the current primal-dual point in *user* space plus the raw
+            # violation blocks alongside the scalar diagnostics.
+            def _cb(i, f, pr, du, m_, apr, adu, lsn, x_full, s_, y_c_, y_d_,
+                    z_L_, z_U_, glx, cxl, cxu, csl, csu, c_, dms_):
+                keep = user_cb(
+                    iter_count=int(i), obj_value=float(f),
+                    inf_pr=float(pr), inf_du=float(du), mu=float(m_),
+                    alpha_pr=float(apr), alpha_du=float(adu),
+                    ls_trials=int(lsn),
+                    curr_iterate=dict(
+                        x=np.asarray(x_full), s=np.asarray(s_),
+                        y_c=np.asarray(y_c_), y_d=np.asarray(y_d_),
+                        z_L=np.asarray(z_L_), z_U=np.asarray(z_U_)),
+                    curr_violations=dict(
+                        grad_lag_x=np.asarray(glx),
+                        compl_x_L=np.asarray(cxl), compl_x_U=np.asarray(cxu),
+                        compl_s_L=np.asarray(csl), compl_s_U=np.asarray(csu),
+                        c_violation=np.asarray(c_),
+                        d_minus_s=np.asarray(dms_)))
+                return np.bool_(keep is not False)
 
-        keep_going = io_callback(_cb, jax.ShapeDtypeStruct((), bool),
-                                 st.iter_count, ev.f, primal_inf, dual_inf,
-                                 mu, ls.alpha_primal, ls.alpha_dual,
-                                 ls.n_backtracks, ordered=True)
+            keep_going = io_callback(
+                _cb, jax.ShapeDtypeStruct((), bool),
+                st.iter_count, ev.f, primal_inf, dual_inf, mu,
+                ls.alpha_primal, ls.alpha_dual, ls.n_backtracks,
+                nlp.x_full(it.x), it.s, it.y_c, it.y_d, it.z_L, it.z_U,
+                res0.grad_lag_x, res0.compl_x_L, res0.compl_x_U,
+                res0.compl_s_L, res0.compl_s_U, ev.c, ev.d - it.s,
+                ordered=True)
+        else:
+            def _cb(i, f, pr, du, m_, apr, adu, lsn):
+                keep = user_cb(iter_count=int(i), obj_value=float(f),
+                               inf_pr=float(pr), inf_du=float(du), mu=float(m_),
+                               alpha_pr=float(apr), alpha_du=float(adu),
+                               ls_trials=int(lsn))
+                return np.bool_(keep is not False)
+
+            keep_going = io_callback(_cb, jax.ShapeDtypeStruct((), bool),
+                                     st.iter_count, ev.f, primal_inf, dual_inf,
+                                     mu, ls.alpha_primal, ls.alpha_dual,
+                                     ls.n_backtracks, ordered=True)
         status = jnp.where(jnp.logical_and(
             status == int(SolverReturn.CONTINUE),
             jnp.logical_not(keep_going)),
@@ -719,6 +753,9 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     opts = options or Options()
     if option_kwargs:
         opts = opts.replace(**option_kwargs)
+    from ..journalist import (configure_from_options, EJournalLevel,
+                              EJournalCategory)
+    jnlst = configure_from_options(opts)
     if intermediate_callback is not None:
         from ..options import register_callback
         opts = opts.replace(
@@ -743,12 +780,14 @@ def solve(problem, options: Optional[Options] = None, it0=None,
         from ..interfaces.dependency import detect_dependent_constraints
         deps = detect_dependent_constraints(problem, opts)
         if deps:
-            if opts.print_level > 0:
-                print(f"Detected {len(deps)} linearly dependent equality "
-                      f"constraints; taking those out.")
-                if opts.print_level >= 5:
-                    for k, i in enumerate(deps):
-                        print(f"c_dep[{k}] = {i}")
+            jnlst.printf(EJournalLevel.J_WARNING,
+                         EJournalCategory.J_INITIALIZATION,
+                         f"Detected {len(deps)} linearly dependent equality "
+                         f"constraints; taking those out.\n")
+            for k, i in enumerate(deps):
+                jnlst.printf(EJournalLevel.J_DETAILED,
+                             EJournalCategory.J_INITIALIZATION,
+                             f"c_dep[{k}] = {i}\n")
             from ..interfaces.transforms import reduce_constraints
             problem = reduce_constraints(problem, deps)
     if isinstance(problem, NLP):
@@ -762,15 +801,17 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     if opts.derivative_test != "none":
         from ..deriv_check import check_derivatives
         report = check_derivatives(cnlp, opts)
-        if opts.print_level > 0:
-            state = "passed" if report.ok else "FAILED"
-            print(f"Derivative checker {state} "
-                  f"(grad {report.max_rel_err_grad:.2e}, "
-                  f"jac {report.max_rel_err_jac:.2e}, "
-                  f"hess {report.max_rel_err_hess:.2e})")
-            for line in report.failures[:20]:
-                print("  " + line)
-    if opts.print_level >= 5:
+        state = "passed" if report.ok else "FAILED"
+        jnlst.printf(EJournalLevel.J_SUMMARY, EJournalCategory.J_NLP,
+                     f"Derivative checker {state} "
+                     f"(grad {report.max_rel_err_grad:.2e}, "
+                     f"jac {report.max_rel_err_jac:.2e}, "
+                     f"hess {report.max_rel_err_hess:.2e})\n")
+        for line in report.failures[:20]:
+            jnlst.printf(EJournalLevel.J_SUMMARY, EJournalCategory.J_NLP,
+                         "  " + line + "\n")
+    if opts.print_level >= 5 or (opts.output_file
+                                 and opts.file_print_level >= 5):
         _print_header()
     if opts.timing_statistics:
         import time as _time
@@ -793,5 +834,9 @@ def solve(problem, options: Optional[Options] = None, it0=None,
 
 
 def _print_header():
-    print("iter    objective        inf_pr   inf_du   lg(mu)  ||d||   lg(rg)"
-          " alpha_du alpha_pr  ls")
+    from ..journalist import (default_journalist, EJournalLevel,
+                              EJournalCategory)
+    default_journalist().printf(
+        EJournalLevel.J_ITERSUMMARY, EJournalCategory.J_MAIN,
+        "iter    objective        inf_pr   inf_du   lg(mu)  ||d||   lg(rg)"
+        " alpha_du alpha_pr  ls\n")

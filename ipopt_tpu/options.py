@@ -83,6 +83,8 @@ class Options:
     print_level: int = _opt(5, "Output", "Verbosity 0..12 (J_* levels).", 0, 12)
     print_frequency_iter: int = _opt(1, "Output", "Print every N iterations.", 1)
     timing_statistics: bool = _opt(False, "Output", "Collect per-phase timings.")
+    file_print_level: int = _opt(5, "Output", "Print level for the output_file "
+                                 "journal (FileJournal, IpJournalist.hpp:416).", 0, 12)
     output_file: str = _opt("", "Output", "Append iteration log lines to this "
                             "file (FileJournal equivalent).", choices=None)
 
@@ -351,6 +353,11 @@ class Options:
     # ---- Callbacks (token into the registry below; participates in the jit
     #      key so different callbacks compile distinct programs) ----
     callback_token: int = _opt(0, "Output", "internal: intermediate_callback id.", 0)
+    callback_curr_iterate: bool = _opt(
+        False, "Output",
+        "Pass curr_iterate / curr_violations dicts to intermediate_callback "
+        "(get_curr_iterate/get_curr_violations parity, IpTNLP.hpp:665-793; "
+        "adds a per-iteration device->host copy).")
 
     # ---- TPU-specific ----
     dtype: str = _opt("float64", "TPU", "Compute dtype for the IPM core.",
