@@ -210,6 +210,229 @@ def luksan_vlcek2(n: int, equality: bool = True) -> NLP:
                f=f, g=g, g_L=g_L, g_U=g_U, x0=x0)
 
 
+def luksan_vlcek4(n: int, equality: bool = True) -> NLP:
+    """LuksanVlcek4 (examples/ScalableProblems/LuksanVlcek4.cpp): chained
+    exponential/tangent objective over 4-wide windows, 3-wide cubic
+    constraints g_i = 8 x_{i+1}(x_{i+1}^2 - x_i) - 2(1 - x_{i+1})
+    + 4(x_{i+1} - x_{i+2}^2), i = 0..m-1 with m = n - 4 (reference:
+    n = N_+2, m = N_-2).  Registry instances LukVlE4 (g = 0) and
+    LukVlI4 (-1 <= g <= 0).  Requires n % 4 == 0, n >= 8."""
+    assert n % 4 == 0 and n >= 8
+
+    def f(x):
+        x0 = x[0:n - 2:2]   # x[2i]
+        x1 = x[1:n - 1:2]   # x[2i+1]
+        x2 = x[2:n:2]       # x[2i+2]
+        x3 = x[3:n:2]       # x[2i+3]
+        e0 = jnp.exp(x0)
+        return jnp.sum((e0 - x1) ** 4 + 100.0 * (x1 - x2) ** 6
+                       + jnp.tan(x2 - x3) ** 4 + x0 ** 8 + (x3 - 1.0) ** 2)
+
+    m = n - 4
+
+    def g(x):
+        xi = x[0:m]
+        xi1 = x[1:m + 1]
+        xi2 = x[2:m + 2]
+        return (8.0 * xi1 * (xi1 ** 2 - xi) - 2.0 * (1.0 - xi1)
+                + 4.0 * (xi1 - xi2 ** 2))
+
+    x0v = np.empty(n)
+    x0v[0::4] = 1.0
+    x0v[1::4] = 2.0
+    x0v[2::4] = 2.0
+    x0v[3::4] = 2.0
+    g_L = np.zeros(m) if equality else np.full(m, -1.0)
+    g_U = np.zeros(m)
+    return NLP(name=f"luksan_vlcek4_{'E' if equality else 'I'}{n}",
+               f=f, g=g, g_L=g_L, g_U=g_U, x0=x0v)
+
+
+def luksan_vlcek5(n: int, equality: bool = True) -> NLP:
+    """LuksanVlcek5 (examples/ScalableProblems/LuksanVlcek5.cpp): chained
+    |.|^{7/3} tridiagonal objective, 5-wide cubic constraints with
+    m = n - 6 rows (reference: n = N_+2, m = N_-4).  x0 = -1."""
+    assert n >= 8
+
+    def f(x):
+        xm, xc, xp = x[0:n - 2], x[1:n - 1], x[2:n]
+        b = (3.0 - 2.0 * xc) * xc - xm - xp + 1.0
+        return jnp.sum(jnp.abs(b) ** (7.0 / 3.0))
+
+    m = n - 6
+
+    def g(x):
+        x1 = x[1:m + 1]
+        x2 = x[2:m + 2]
+        x3 = x[3:m + 3]
+        x4 = x[4:m + 4]
+        x5 = x[5:m + 5]
+        return (8.0 * x3 * (x3 ** 2 - x2) - 2.0 * (1.0 - x3)
+                + 4.0 * (x3 - x4 ** 2) + x2 ** 2 - x1 + x4 - x5 ** 2)
+
+    g_L = np.zeros(m) if equality else np.full(m, -1.0)
+    g_U = np.zeros(m)
+    return NLP(name=f"luksan_vlcek5_{'E' if equality else 'I'}{n}",
+               f=f, g=g, g_L=g_L, g_U=g_U, x0=np.full(n, -1.0))
+
+
+def luksan_vlcek6(n: int, equality: bool = True) -> NLP:
+    """LuksanVlcek6 (examples/ScalableProblems/LuksanVlcek6.cpp): chained
+    |.|^{7/3} objective with a 7-wide window sum, exponential constraints
+    over variable pairs; m = (n-1)/2 rows (reference: n = N_+1, m = N_/2).
+    Requires odd n >= 3 (so N = n-1 is even).  x0 = 3."""
+    assert n % 2 == 1 and n >= 3
+    N = n - 1
+    m = N // 2
+
+    def f(x):
+        q = x[:N] * (1.0 + x[:N])
+        cq = jnp.concatenate([jnp.zeros(1, x.dtype), jnp.cumsum(q)])
+        i = jnp.arange(N)
+        lo = jnp.maximum(0, i - 5)
+        hi = jnp.minimum(N - 1, i + 1)
+        wsum = cq[hi + 1] - cq[lo]
+        b = (2.0 + 5.0 * x[:N] ** 2) * x[:N] + 1.0 + wsum
+        return jnp.sum(jnp.abs(b) ** (7.0 / 3.0))
+
+    def g(x):
+        xe = x[0:2 * m:2]        # x[2i]
+        xo = x[1:2 * m + 1:2]    # x[2i+1]
+        xe2 = x[2:2 * m + 2:2]   # x[2i+2]
+        e = jnp.exp(xe - xo - xe2)
+        return 4.0 * xo - (xe - xe2) * e - 3.0
+
+    g_L = np.zeros(m) if equality else np.full(m, -1.0)
+    g_U = np.zeros(m)
+    return NLP(name=f"luksan_vlcek6_{'E' if equality else 'I'}{n}",
+               f=f, g=g, g_L=g_L, g_U=g_U, x0=np.full(n, 3.0))
+
+
+def luksan_vlcek7(n: int, equality: bool = True) -> NLP:
+    """LuksanVlcek7 (examples/ScalableProblems/LuksanVlcek7.cpp): chained
+    trigonometric objective with linearly growing weights and exactly 4
+    boundary constraints (reference: n = N_+2, m = 4).  x0 = 1."""
+    assert n >= 5
+    N = n - 2
+
+    def f(x):
+        i = jnp.arange(1, N + 1).astype(x.dtype)
+        xc = x[1:N + 1]
+        return jnp.sum(i * ((1.0 - jnp.cos(xc))
+                            + jnp.sin(x[0:N]) - jnp.sin(x[2:N + 2])))
+
+    def g(x):
+        return jnp.array([
+            4.0 * (x[1] - x[2] ** 2) + x[2] - x[3] ** 2,
+            8.0 * x[2] * (x[2] ** 2 - x[1]) - 2.0 * (1.0 - x[2])
+            + 4.0 * (x[2] - x[3] ** 2) + x[3] - x[4] ** 2,
+            8.0 * x[N - 1] * (x[N - 1] ** 2 - x[N - 2])
+            - 2.0 * (1.0 - x[N - 1]) + 4.0 * (x[N - 1] - x[N] ** 2)
+            + x[N - 2] ** 2 - x[N - 3],
+            8.0 * x[N] * (x[N] ** 2 - x[N - 1]) - 2.0 * (1.0 - x[N])
+            + x[N - 1] ** 2 - x[N - 2]])
+
+    g_L = np.zeros(4) if equality else np.full(4, -1.0)
+    g_U = np.zeros(4)
+    return NLP(name=f"luksan_vlcek7_{'E' if equality else 'I'}{n}",
+               f=f, g=g, g_L=g_L, g_U=g_U, x0=np.full(n, 1.0))
+
+
+_MITTELMANN_EXAMPLES = {
+    # example id -> (alpha, ub_y, lb_u, ub_u); all share d_const = -20 and
+    # y_d(x1,x2) = 3 + 5 x1(x1-1) x2(x2-1)
+    # (MittelmannBndryCntrlDiri.hpp:281-298 ex1, :329-346 ex2, :380-397 ex3,
+    #  :432-448 ex4)
+    1: (0.01, 3.5, 0.0, 10.0),
+    2: (0.0, 3.5, 0.0, 10.0),
+    3: (0.01, 3.2, 1.6, 2.3),
+    4: (0.0, 3.2, 1.6, 2.3),
+}
+
+
+def mittelmann_bndry_control(N: int, example: int = 1) -> ChainedNLP:
+    """MittelmannBndryCntrlDiri 1-4 (examples/ScalableProblems/
+    MittelmannBndryCntrlDiri.{hpp,cpp}): 2-D elliptic (Poisson) Dirichlet
+    boundary control on the unit square,
+
+        min  hh/2 sum_int (y_ij - y_d(ih,jh))^2 + alpha h/2 sum_bnd u^2
+        s.t. 4 y_ij - y_{i-1,j} - y_{i+1,j} - y_{i,j-1} - y_{i,j+1}
+                 = -hh * d_const            (interior i,j = 1..N)
+             lb_y <= y_int <= ub_y,  lb_u <= y_bnd <= ub_u
+
+    on an (N+2)x(N+2) grid with h = 1/(N+1).  The controls are the boundary
+    values of y (no separate u variables), exactly as in the reference.
+
+    TPU-native formulation: chained over *pairs of grid rows* — group k is
+    grid rows (2k, 2k+1) flattened, so the 5-point stencil centered in rows
+    2k+1 and 2k+2 touches exactly groups k and k+1 and the KKT is
+    block-tridiagonal (BCR backend).  Requires even N >= 2.
+
+    Deviation from the reference: the 4 corner values (which appear in no
+    constraint) are treated as bounded controls contributing alpha h/2 u^2
+    to the objective instead of being fixed to 0; with lb_u <= 0 the optimum
+    is unchanged.  For examples 3/4 (lb_u = 1.6) the corners sit at their
+    lower bound and add the constant 2 alpha h lb_u^2.
+    """
+    if N % 2 or N < 2:
+        raise ValueError(f"need even N >= 2, got {N}")
+    alpha, ub_y, lb_u, ub_u = _MITTELMANN_EXAMPLES[example]
+    lb_y, d_const = -1e20, -20.0
+    Ng = N + 2
+    h = 1.0 / (N + 1)
+    hh = h * h
+    K = Ng // 2 - 1          # stages; K+1 groups of 2 grid rows
+    v = 2 * Ng
+    mk = 2 * N
+
+    ij = np.arange(Ng) * h
+    y_d = 3.0 + 5.0 * (ij[:, None] * (ij[:, None] - 1.0)
+                       * ij[None, :] * (ij[None, :] - 1.0))
+    interior = np.zeros((Ng, Ng), bool)
+    interior[1:-1, 1:-1] = True
+    w_int = np.where(interior, hh / 2.0, 0.0)
+    w_ctl = np.where(~interior, alpha * h / 2.0, 0.0)
+
+    def obj_rows(rows, yd, wi, wc):
+        return (jnp.sum(wi * (rows - yd) ** 2) + jnp.sum(wc * rows ** 2))
+
+    def f_stage(xk, xk1, theta):
+        return obj_rows(xk.reshape(2, Ng), theta["yd"], theta["wi"],
+                        theta["wc"])
+
+    yd_last = jnp.asarray(y_d[-2:])
+    wi_last = jnp.asarray(w_int[-2:])
+    wc_last = jnp.asarray(w_ctl[-2:])
+
+    def f_last(xK):
+        return obj_rows(xK.reshape(2, Ng), yd_last, wi_last, wc_last)
+
+    def g_stage(xk, xk1, theta):
+        w = jnp.concatenate([xk.reshape(2, Ng), xk1.reshape(2, Ng)])
+
+        def pde(up, c, dn):
+            return 4.0 * c[1:-1] - up[1:-1] - dn[1:-1] - c[:-2] - c[2:]
+
+        return jnp.concatenate([pde(w[0], w[1], w[2]),
+                                pde(w[1], w[2], w[3])])
+
+    rhs = -hh * d_const
+    theta = {"yd": np.stack([y_d[2 * k:2 * k + 2] for k in range(K)]),
+             "wi": np.stack([w_int[2 * k:2 * k + 2] for k in range(K)]),
+             "wc": np.stack([w_ctl[2 * k:2 * k + 2] for k in range(K)])}
+
+    x_L = np.where(interior, lb_y, lb_u)
+    x_U = np.where(interior, ub_y, ub_u)
+    x0 = np.where(interior, y_d, 0.5 * (lb_u + ub_u))
+
+    return ChainedNLP(
+        f_stage=f_stage, g_stage=g_stage, f_last=f_last, theta=theta,
+        x0=x0.reshape(K + 1, v), g_L=np.full((K, mk), rhs),
+        g_U=np.full((K, mk), rhs),
+        x_L=x_L.reshape(K + 1, v), x_U=x_U.reshape(K + 1, v),
+        name=f"mittelmann_bndry{example}_N{N}")
+
+
 def luksan_vlcek3(n: int, equality: bool = True) -> NLP:
     """LuksanVlcek3 (examples/ScalableProblems/LuksanVlcek3.cpp): chained
     Powell singular objective, two boundary constraints.  n % 4 == 0."""
