@@ -813,13 +813,13 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     if opts.print_level >= 5 or (opts.output_file
                                  and opts.file_print_level >= 5):
         _print_header()
-    if opts.timing_statistics:
+    if opts.timing_statistics or opts.print_timing_statistics:
         import time as _time
         t0 = _time.perf_counter()
         res = _solve_canonical(cnlp, opts, it0)
         jax.block_until_ready(res.x)
         wall = _time.perf_counter() - t0
-        if opts.print_level > 0:
+        if opts.print_level > 0 or opts.print_timing_statistics:
             it_n = max(int(res.iter_count), 1)
             print(f"OverallAlgorithm....................: {wall:10.3f} (wall)")
             print(f"  per iteration.....................: {wall / it_n:10.4f}")

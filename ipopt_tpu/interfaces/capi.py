@@ -158,4 +158,4 @@ def solve_from_c(n, m, x0, x_L, x_U, g_L, g_U, f_ptr, g_ptr, grad_ptr,
     zs = list(np.asarray(res.z_L, float)) + list(np.asarray(res.z_U, float))
     return (int(status), [float(v) for v in np.asarray(res.x)],
             float(res.obj), [float(v) for v in np.asarray(res.g)],
-            [float(v) for v in np.asarray(res.y)], zs)
+            [float(v) for v in np.asarray(res.y)], zs, int(res.iter_count))

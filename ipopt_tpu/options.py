@@ -83,6 +83,10 @@ class Options:
     print_level: int = _opt(5, "Output", "Verbosity 0..12 (J_* levels).", 0, 12)
     print_frequency_iter: int = _opt(1, "Output", "Print every N iterations.", 1)
     timing_statistics: bool = _opt(False, "Output", "Collect per-phase timings.")
+    print_timing_statistics: bool = _opt(
+        False, "Output", "Print the timing-statistics block after the solve "
+        "(IpIpoptApplication.cpp:628-634); implies timing_statistics. For a "
+        "full per-phase breakdown use profiling.solve_timed.")
     file_print_level: int = _opt(5, "Output", "Print level for the output_file "
                                  "journal (FileJournal, IpJournalist.hpp:416).", 0, 12)
     output_file: str = _opt("", "Output", "Append iteration log lines to this "

@@ -27,6 +27,7 @@ struct IpoptTpuProblemInfo {
     // option key -> python literal repr ("1e-6", "'adaptive'", "3")
     std::vector<std::pair<std::string, std::string>> options;
     void* user_data = nullptr;
+    ipindex iter_count = 0;
 };
 
 static bool ensure_python() {
@@ -146,6 +147,9 @@ int IpoptTpuSolve(IpoptTpuProblem p, ipnumber* x, ipnumber* obj_val,
     Py_DECREF(fn);
 
     if (res && PyTuple_Check(res) && PyTuple_Size(res) >= 6) {
+        if (PyTuple_Size(res) >= 7)
+            p->iter_count =
+                (ipindex)PyLong_AsLong(PyTuple_GetItem(res, 6));
         status = (int)PyLong_AsLong(PyTuple_GetItem(res, 0));
         PyObject* xs = PyTuple_GetItem(res, 1);
         for (ipindex i = 0; i < p->n; ++i)
@@ -175,6 +179,36 @@ int IpoptTpuSolve(IpoptTpuProblem p, ipnumber* x, ipnumber* obj_val,
     Py_XDECREF(res);
     PyGILState_Release(gil);
     return status;
+}
+
+/* EXIT strings matching the reference's final messages
+ * (IpIpoptApplication.cpp:664-747). */
+const char* IpoptTpuStatusMessage(int status) {
+    switch (status) {
+        case IPOPTTPU_SOLVE_SUCCEEDED: return "Optimal Solution Found.";
+        case IPOPTTPU_SOLVED_TO_ACCEPTABLE_LEVEL:
+            return "Solved To Acceptable Level.";
+        case IPOPTTPU_INFEASIBLE_PROBLEM_DETECTED:
+            return "Converged to a point of local infeasibility. Problem may "
+                   "be infeasible.";
+        case IPOPTTPU_SEARCH_DIRECTION_BECOMES_TOO_SMALL:
+            return "Search Direction is becoming Too Small.";
+        case IPOPTTPU_DIVERGING_ITERATES: return "Iterates diverging; problem "
+                   "might be unbounded.";
+        case IPOPTTPU_USER_REQUESTED_STOP: return "Stopping optimization at "
+                   "current point as requested by user.";
+        case IPOPTTPU_MAXITER_EXCEEDED:
+            return "Maximum Number of Iterations Exceeded.";
+        case IPOPTTPU_RESTORATION_FAILED: return "Restoration Failed!";
+        case IPOPTTPU_ERROR_IN_STEP_COMPUTATION:
+            return "Error in step computation!";
+        case IPOPTTPU_INVALID_OPTION: return "Invalid option encountered.";
+        default: return "INTERNAL ERROR: Unknown SolverReturn value.";
+    }
+}
+
+ipindex IpoptTpuIterCount(IpoptTpuProblem p) {
+    return p ? p->iter_count : 0;
 }
 
 }  // extern "C"

@@ -69,6 +69,12 @@ int IpoptTpuSolve(IpoptTpuProblem p, ipnumber* x, ipnumber* obj_val,
                   ipnumber* g_out, ipnumber* mult_g, ipnumber* mult_x_L,
                   ipnumber* mult_x_U, void* user_data);
 
+/* SolveStatistics-style accessors (reference IpSolveStatistics.hpp:53-129):
+ * human-readable status message (matches the reference's EXIT strings) and
+ * the iteration count of the last IpoptTpuSolve on this problem. */
+const char* IpoptTpuStatusMessage(int status);
+ipindex IpoptTpuIterCount(IpoptTpuProblem p);
+
 #ifdef __cplusplus
 }
 #endif
