@@ -82,17 +82,52 @@ class LineSearchResult(NamedTuple):
     penalty_nu: jnp.ndarray
 
 
-def _theta(nlp: CanonicalNLP, c, d, s):
-    return jnp.sum(jnp.abs(c)) + jnp.sum(jnp.abs(d - s))
+def _theta(nlp: CanonicalNLP, c, d, s, norm_type: str = "1-norm"):
+    """theta(x) in the option-selected norm (constraint_violation_norm_type,
+    IpIpoptCalculatedQuantities.cpp:175; default 1-norm)."""
+    dms = d - s
+    if norm_type == "2-norm":
+        return jnp.sqrt(jnp.sum(c * c) + jnp.sum(dms * dms))
+    if norm_type == "max-norm":
+        return jnp.maximum(jnp.max(jnp.abs(c), initial=0.0),
+                           jnp.max(jnp.abs(dms), initial=0.0))
+    return jnp.sum(jnp.abs(c)) + jnp.sum(jnp.abs(dms))
+
+
+def magic_step(nlp: CanonicalNLP, s, d_t):
+    """Slack magic step (IpBacktrackingLineSearch.cpp:1003-1099): move s_i
+    toward d_i(x_trial) — up for lower-bounded rows, down for upper-bounded —
+    and cancel the move on two-sided rows when it worsens the centering
+    distance |d_L + d_U - 2 s|.  Reduces theta at zero cost in x."""
+    dms = d_t - s
+    delta = (jnp.where(nlp.has_dL, jnp.maximum(0.0, dms), 0.0)
+             + jnp.where(nlp.has_dU, jnp.minimum(0.0, dms), 0.0))
+    both = jnp.logical_and(nlp.has_dL, nlp.has_dU)
+    center_old = jnp.abs(nlp.d_L + nlp.d_U - 2.0 * s)
+    center_new = jnp.abs(nlp.d_L + nlp.d_U - 2.0 * (s + delta))
+    delta = jnp.where(jnp.logical_and(both, center_new > center_old),
+                      0.0, delta)
+    return s + delta
 
 
 def _eval_theta_phi(nlp: CanonicalNLP, opts: Options, it_trial: Iterate, mu):
     f_t = nlp.eval_f(it_trial.x)
     c_t = nlp.eval_c(it_trial.x)
     d_t = nlp.eval_d(it_trial.x)
-    theta_t = _theta(nlp, c_t, d_t, it_trial.s)
+    theta_t = _theta(nlp, c_t, d_t, it_trial.s,
+                     opts.constraint_violation_norm_type)
     phi_t = barrier_obj(nlp, it_trial, f_t, mu, opts.kappa_d)
     return f_t, c_t, d_t, theta_t, phi_t
+
+
+def _eval_trial_magic(nlp: CanonicalNLP, opts: Options, it_trial: Iterate,
+                      mu):
+    """_eval_theta_phi with the optional slack magic step applied to the
+    trial iterate first (the modified s persists into acceptance)."""
+    if opts.magic_steps:
+        d_t = nlp.eval_d(it_trial.x)
+        it_trial = it_trial._replace(s=magic_step(nlp, it_trial.s, d_t))
+    return (it_trial,) + _eval_theta_phi(nlp, opts, it_trial, mu)
 
 
 def _trial_point(it: Iterate, step: Iterate, alpha, alpha_dual):
@@ -117,7 +152,8 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     use_penalty = opts.line_search_method == "penalty"
 
     # Current-point quantities.
-    theta = _theta(nlp, ev.c, ev.d, it.s)
+    theta = _theta(nlp, ev.c, ev.d, it.s,
+                   opts.constraint_violation_norm_type)
     phi = barrier_obj(nlp, it, ev.f, mu, opts.kappa_d)
     gphi_x = (grad_barrier_x(nlp, it, ev.grad_f, mu, opts.kappa_d))
     gphi_s = grad_barrier_s(nlp, it, mu, opts.kappa_d)
@@ -181,7 +217,8 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     # --- main backtracking loop -----------------------------------------
     def eval_trial(alpha):
         it_t = _trial_point(it, step, alpha, alpha_dual)
-        f_t, c_t, d_t, theta_t, phi_t = _eval_theta_phi(nlp, opts, it_t, mu)
+        it_t, f_t, c_t, d_t, theta_t, phi_t = _eval_trial_magic(
+            nlp, opts, it_t, mu)
         return it_t, f_t, c_t, d_t, theta_t, phi_t
 
     class Carry(NamedTuple):
@@ -229,7 +266,9 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         c_soc0 = alpha * ev.c + c_t
         dms0 = alpha * (ev.d - it.s) + (d_t - it_t_s)
         init = (jnp.zeros((), bool), jnp.zeros((), bool), it, ev.f, ev.c, ev.d,
-                c_soc0, dms0, _theta(nlp, c_t, d_t, it_t_s),
+                c_soc0, dms0,
+                _theta(nlp, c_t, d_t, it_t_s,
+                       opts.constraint_violation_norm_type),
                 jnp.ones((), bool))
         out = lax.fori_loop(0, opts.max_soc, soc_body, init)
         return out[:6]
@@ -307,3 +346,47 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         trial_c=out.c_t, trial_d=out.d_t, n_backtracks=out.k,
         used_soc=out.used_soc, ftype=out.ftype, filter=fs_out,
         theta_curr=theta, phi_curr=phi, penalty_nu=nu)
+
+
+def compute_alpha_for_y(nlp: CanonicalNLP, opts: Options, it: Iterate,
+                        step: Iterate, trial: Iterate, alpha_primal,
+                        alpha_dual):
+    """Step size for the equality-constraint multipliers y — PerformDualStep
+    (IpBacktrackingLineSearch.cpp:908-990).  Dispatch is static on
+    opts.alpha_for_y; 'acceptor' falls back to the acceptor's own rule
+    ('primal' for the filter/penalty acceptors)."""
+    kind = opts.alpha_for_y
+    if kind in ("primal", "acceptor"):
+        return alpha_primal
+    if kind == "bound-mult":
+        return alpha_dual
+    if kind == "min":
+        return jnp.minimum(alpha_primal, alpha_dual)
+    if kind == "max":
+        return jnp.maximum(alpha_primal, alpha_dual)
+    if kind == "full":
+        return jnp.ones_like(alpha_primal)
+    if kind in ("primal-and-full", "dual-and-full"):
+        base = alpha_primal if kind == "primal-and-full" else alpha_dual
+        dxnorm = jnp.maximum(jnp.max(jnp.abs(step.x), initial=0.0),
+                             jnp.max(jnp.abs(step.s), initial=0.0))
+        return jnp.where(dxnorm <= opts.alpha_for_y_tol,
+                         jnp.ones_like(base), base)
+    # min-dual-infeas / safer-min-dual-infeas: minimize the dual
+    # infeasibility along delta_y at the new primal point with the old y
+    # (grad_lag is affine in alpha_y, so ||.||_2^2 has a closed-form
+    # minimizer alpha* = -b/a).
+    _, vjp_c = jax.vjp(nlp.eval_c, trial.x)
+    _, vjp_d = jax.vjp(nlp.eval_d, trial.x)
+    jty = vjp_c(step.y_c)[0] + vjp_d(step.y_d)[0]
+    gl_x = (nlp.eval_grad_f(trial.x) + vjp_c(it.y_c)[0] + vjp_d(it.y_d)[0]
+            - trial.z_L + trial.z_U)
+    gl_s = -it.y_d - trial.v_L + trial.v_U
+    a = jnp.sum(jty * jty) + jnp.sum(step.y_d * step.y_d)
+    b = jnp.dot(gl_x, jty) - jnp.dot(gl_s, step.y_d)
+    alpha = -b / jnp.maximum(a, jnp.finfo(trial.x.dtype).tiny)
+    if kind == "safer-min-dual-infeas":
+        return jnp.minimum(jnp.maximum(alpha_primal, alpha_dual),
+                           jnp.maximum(alpha, jnp.minimum(alpha_primal,
+                                                          alpha_dual)))
+    return jnp.clip(alpha, 0.0, 1.0)

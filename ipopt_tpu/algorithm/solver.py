@@ -363,6 +363,18 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
                          st.theta_min, st.theta_max, penalty_nu=st.penalty_nu)
 
+    # --- PerformDualStep: y step size per alpha_for_y ---------------------
+    # (IpBacktrackingLineSearch.cpp:908-990; default 'primal' is what the
+    # line search already applied; cg-penalty keeps its own acceptor rule.)
+    if (opts.alpha_for_y not in ("primal", "acceptor")
+            and opts.line_search_method != "cg-penalty"):
+        from .linesearch import compute_alpha_for_y
+        a_y = compute_alpha_for_y(nlp, opts, it, sr.step, ls.trial,
+                                  ls.alpha_primal, ls.alpha_dual)
+        ls = ls._replace(trial=ls.trial._replace(
+            y_c=it.y_c + a_y * sr.step.y_c,
+            y_d=it.y_d + a_y * sr.step.y_d))
+
     # --- Watchdog (Start/StopWatchDog, IpBacktrackingLineSearch) ----------
     # In watchdog mode the full fraction-to-boundary step is taken on trust;
     # the trial must become acceptable w.r.t. the stored reference point
@@ -380,7 +392,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     wd_f = nlp.eval_f(wd_trial.x)
     wd_c = nlp.eval_c(wd_trial.x)
     wd_d = nlp.eval_d(wd_trial.x)
-    wd_theta = jnp.sum(jnp.abs(wd_c)) + jnp.sum(jnp.abs(wd_d - wd_trial.s))
+    from .linesearch import _theta as _theta_norm
+    wd_theta = _theta_norm(nlp, wd_c, wd_d, wd_trial.s,
+                           opts.constraint_violation_norm_type)
     from ..kkt import barrier_obj as _bobj
     wd_phi = _bobj(nlp, wd_trial, wd_f, mu, opts.kappa_d)
     wd_ok = jnp.logical_or(
@@ -432,6 +446,21 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     new_it = jax.tree.map(lambda a, b: jnp.where(take_full, b, a), new_it, wd_trial)
     new_it = jax.tree.map(lambda a, b: jnp.where(wd_restore, b, a),
                           new_it, st.wd_ref)
+    # slack_move (IpIpoptCalculatedQuantities.cpp:164-171,520-528): if an
+    # inequality slack became nonpositive through roundoff, push s back to a
+    # small interior distance.  (x-bound slacks stay positive through
+    # bound_relax_factor + fraction-to-boundary; s is ours to move.)
+    if opts.slack_move > 0.0:
+        move_L = opts.slack_move * jnp.maximum(1.0, jnp.abs(nlp.d_L))
+        move_U = opts.slack_move * jnp.maximum(1.0, jnp.abs(nlp.d_U))
+        s_fix = new_it.s
+        s_fix = jnp.where(
+            jnp.logical_and(nlp.has_dL, s_fix - nlp.d_L <= 0.0),
+            nlp.d_L + move_L, s_fix)
+        s_fix = jnp.where(
+            jnp.logical_and(nlp.has_dU, nlp.d_U - s_fix <= 0.0),
+            nlp.d_U - move_U, s_fix)
+        new_it = new_it._replace(s=s_fix)
     new_it = _kappa_sigma_clip(nlp, new_it, mu, opts.kappa_sigma)
 
     # --- Fallback: restoration phase (IpIpoptAlg.cpp:384
@@ -569,8 +598,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     wd_active_next = jnp.where(in_wd, jnp.logical_not(wd_done), activate)
     wd_trials_next = jnp.where(jnp.logical_and(in_wd, jnp.logical_not(wd_done)),
                                st.wd_trials + 1, 0)
-    theta_new = (jnp.sum(jnp.abs(ev_new.c))
-                 + jnp.sum(jnp.abs(ev_new.d - new_it.s)))
+    from .linesearch import _theta as _th
+    theta_new = _th(nlp, ev_new.c, ev_new.d, new_it.s,
+                    opts.constraint_violation_norm_type)
     phi_new = kkt.barrier_obj(nlp, new_it, ev_new.f, mu, opts.kappa_d)
     wd_ref_next = jax.tree.map(lambda a, b: jnp.where(activate, b, a),
                                st.wd_ref, new_it)
@@ -636,7 +666,9 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
     else:
         it = it0
     ev = evaluate(nlp, it.x)
-    theta0 = jnp.sum(jnp.abs(ev.c)) + jnp.sum(jnp.abs(ev.d - it.s))
+    from .linesearch import _theta as _th0
+    theta0 = _th0(nlp, ev.c, ev.d, it.s,
+                  opts.constraint_violation_norm_type)
     theta_min = opts.theta_min_fact * jnp.maximum(1.0, theta0)
     theta_max = opts.theta_max_fact * jnp.maximum(1.0, theta0)
     ms = mu_init_state(opts, dtype)

@@ -202,6 +202,26 @@ class Options:
     max_filter_resets: int = _opt(5, "Line Search", "Max filter reset heuristic count.", 0)
     filter_reset_trigger: int = _opt(5, "Line Search", "Iterations triggering filter reset.", 1)
     accept_every_trial_step: bool = _opt(False, "Line Search", "Disable line search (full steps).")
+    alpha_for_y: str = _opt(
+        "primal", "Line Search", "Step size for equality-constraint "
+        "multipliers y (IpBacktrackingLineSearch.cpp:85-97,905-990).",
+        choices=("primal", "bound-mult", "min", "max", "full",
+                 "min-dual-infeas", "safer-min-dual-infeas",
+                 "primal-and-full", "dual-and-full", "acceptor"))
+    alpha_for_y_tol: float = _opt(
+        10.0, "Line Search", "Step-size tolerance triggering a full y step "
+        "for alpha_for_y=primal-and-full/dual-and-full.", 0.0)
+    constraint_violation_norm_type: str = _opt(
+        "1-norm", "Line Search", "Norm for the constraint violation theta "
+        "in the line search (IpIpoptCalculatedQuantities.cpp:175).",
+        choices=("1-norm", "2-norm", "max-norm"))
+    magic_steps: bool = _opt(
+        False, "Line Search", "Slack 'magic steps' on trial points: move s "
+        "toward d(x) within its bounds to reduce theta without changing x "
+        "(IpBacktrackingLineSearch.cpp:1003-1099).")
+    slack_move: float = _opt(
+        2.2e-12, "Line Search", "Correction size for nonpositive slacks "
+        "(mach_eps^0.75; IpIpoptCalculatedQuantities.cpp:164-171).", 0.0)
 
     # ---- Inexact algorithm (src/Algorithm/Inexact/, Curtis-Schenk-Waechter;
     #      IpInexactAlgBuilder.cpp:64-130 gate, IpInexactDoglegNormal.cpp:30-45,
