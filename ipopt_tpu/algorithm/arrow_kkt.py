@@ -125,13 +125,12 @@ def arrow_factorize(K: ArrowMatrix, pivot_tol: float = 0.0,
 
 
 def _solve_blk(L, d, B):
+    from ..linalg.ldlt import tri_solve_unit_lower
     tiny = jnp.finfo(L.dtype).tiny
     safe_d = jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
-    y = lax.linalg.triangular_solve(L, B, left_side=True, lower=True,
-                                    unit_diagonal=True)
+    y = tri_solve_unit_lower(L, B)
     z = y / safe_d[:, None]
-    return lax.linalg.triangular_solve(L, z, left_side=True, lower=True,
-                                       transpose_a=True, unit_diagonal=True)
+    return tri_solve_unit_lower(L, z, transpose=True)
 
 
 def arrow_solve(fac: ArrowFactor, r0, rs):
@@ -203,16 +202,17 @@ class ArrowFactorResult(NamedTuple):
 
 
 def arrow_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
-                        Jblocks, Wblocks, mu, delta_w_last) -> ArrowFactorResult:
+                        Jblocks, Wblocks, mu, delta_w_last,
+                        delta_cd_override=None) -> ArrowFactorResult:
     """Inertia-corrected arrow factorization (PDPerturbationHandler schedule)."""
     dtype = it.x.dtype
     exp_pos, exp_neg = expected_inertia_arrow(nlp)
     # Always dual-regularized (see chained_kkt.py: block elimination needs
     # invertible diagonal blocks).
-    delta_cd = jnp.maximum(
-        opts.jacobian_regularization_value
-        * mu ** opts.jacobian_regularization_exponent,
-        opts.jacobian_regularization_value)
+    base_cd = (delta_cd_override if delta_cd_override is not None
+               else opts.jacobian_regularization_value
+               * mu ** opts.jacobian_regularization_exponent)
+    delta_cd = jnp.maximum(base_cd, opts.jacobian_regularization_value)
 
     def factor(dxv, dcv):
         Kb = assemble_arrow(nlp, it, Jblocks, Wblocks, dxv, dcv)

@@ -38,7 +38,7 @@ from ..problem import CanonicalNLP
 from ..options import Options
 from ..kkt import (Evals, barrier_obj, grad_barrier_x, grad_barrier_s,
                    fraction_to_boundary, condensed_rhs_parts, slacks)
-from .step import (StepResult, factorize_kkt, solve_any,
+from .step import (StepResult, factorize_any, solve_any,
                    direction_from_parts)
 
 
@@ -108,7 +108,7 @@ def cg_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
 
     # --- factorize with the CG perturbation (curr_cg_pert_fact) -----------
     pert_fact = inf2 / kkt_penalty
-    fr = factorize_kkt(nlp, opts, it, ev, W, mu, delta_w_last,
+    fr = factorize_any(nlp, opts, it, ev, W, mu, delta_w_last,
                        delta_cd_override=pert_fact)
     pert = fr.delta_c  # nonzero only if the retry loop perturbed
 
@@ -342,7 +342,7 @@ def cg_line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         Fzlin = theta_t + alpha * opts.piecewisepenalty_gamma_infeasi * theta
         plpf = pp_acceptable(cg, Fzconst, Fzlin)
         if not opts.never_use_piecewise_penalty_ls:
-            near_feas = inf_max < opts.cg_theta_min
+            near_feas = inf_max < opts.theta_min
             barr_dec_ok = (phi_t - pp_biggest_barr(cg)
                            <= -alpha * opts.piecewisepenalty_gamma_obj
                            * aux.dxs_nrm2 + 10.0 * eps * jnp.abs(phi))
@@ -408,7 +408,12 @@ def cg_line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         trial_c=out.c_t, trial_d=out.d_t, n_backtracks=out.k,
         used_soc=jnp.zeros((), bool), ftype=jnp.ones((), bool),
         filter=None,  # caller keeps its FilterState untouched
-        theta_curr=theta, phi_curr=phi, penalty_nu=cg.penalty)
+        theta_curr=theta, phi_curr=phi, penalty_nu=cg.penalty,
+        # no first-trial reuse: the solver evaluates the watchdog point itself
+        first_trial=out.it_t, first_f=out.f_t, first_c=out.c_t,
+        first_d=out.d_t, first_theta=jnp.asarray(jnp.inf, dtype),
+        first_phi=jnp.asarray(jnp.inf, dtype),
+        n_evals=out.k, n_soc_rounds=jnp.zeros((), jnp.int32))
     return ls, cg
 
 

@@ -129,7 +129,7 @@ def perform_restoration_chained(orig: CanonicalNLP, opts: Options,
                                 outer_mu, fs: FilterState, theta_outer,
                                 phi_outer, ipm_step_fn,
                                 active=True) -> RestoResult:
-    from .solver import IPMState, counters_init
+    from .solver import IPMState, counters_init, _cache_from_evals
     from .linesearch import filter_init
     from .mu import adaptive_mu_init
     from .quasi_newton import lbfgs_init
@@ -213,7 +213,11 @@ def perform_restoration_chained(orig: CanonicalNLP, opts: Options,
         last_delta_x=z0, last_step_norm=z0,
         restoration_count=jnp.zeros((), jnp.int32),
         ams=adaptive_mu_init(dtype),
-        lbfgs=lbfgs_init(resto.struct.n, 0, dtype, 1.0),
+        lbfgs=lbfgs_init(
+            resto.struct.n,
+            resto_opts.limited_memory_max_history
+            if resto_opts.hessian_approximation == "limited-memory" else 0,
+            dtype, resto_opts.limited_memory_init_val),
         tiny_step_count=jnp.zeros((), jnp.int32),
         wd_active=jnp.zeros((), bool), wd_trials=jnp.zeros((), jnp.int32),
         wd_shortened_count=jnp.zeros((), jnp.int32), wd_ref=it_r,
@@ -224,6 +228,7 @@ def perform_restoration_chained(orig: CanonicalNLP, opts: Options,
         cg=cg_init(resto_opts, dtype),
         tr_omega=jnp.asarray(resto_opts.omega_init, dtype),
         nu_low=jnp.asarray(resto_opts.nu_low_init, dtype),
+        ev=_cache_from_evals(ev_r),
         counters=counters_init())
 
     kappa = opts.required_infeasibility_reduction

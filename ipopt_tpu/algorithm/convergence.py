@@ -41,6 +41,12 @@ def check_convergence(opts: Options, iter_count, acceptable_count,
             dual_inf <= opts.acceptable_dual_inf_tol,
             jnp.logical_and(primal_inf <= opts.acceptable_constr_viol_tol,
                             compl_inf <= opts.acceptable_compl_inf_tol)))
+    if obj_change_rel is not None:
+        # acceptable_obj_change_tol (IpOptErrorConvCheck.cpp:221-235):
+        # |f_k - f_{k-1}| / max(1, |f_k|) must also be below the tolerance
+        # (default 1e20 keeps this vacuous).
+        acceptable = jnp.logical_and(
+            acceptable, obj_change_rel <= opts.acceptable_obj_change_tol)
     acceptable_count = jnp.where(acceptable, acceptable_count + 1,
                                  jnp.zeros_like(acceptable_count))
     acceptable_stop = jnp.logical_and(opts.acceptable_iter > 0,

@@ -412,5 +412,10 @@ def inexact_line_search(nlp: CanonicalNLP, opts: Options, it: Iterate,
         alpha_dual=alpha_dual, trial=out.it_t, trial_ev_f=out.f_t,
         trial_c=out.c_t, trial_d=out.d_t, n_backtracks=out.k,
         used_soc=jnp.zeros((), bool), ftype=jnp.ones((), bool),
-        filter=None, theta_curr=theta1, phi_curr=phi, penalty_nu=nu_new)
+        filter=None, theta_curr=theta1, phi_curr=phi, penalty_nu=nu_new,
+        # no first-trial reuse: the solver evaluates the watchdog point itself
+        first_trial=out.it_t, first_f=out.f_t, first_c=out.c_t,
+        first_d=out.d_t, first_theta=jnp.asarray(jnp.inf, it.x.dtype),
+        first_phi=jnp.asarray(jnp.inf, it.x.dtype),
+        n_evals=out.k, n_soc_rounds=jnp.zeros((), jnp.int32))
     return ls, nu_new, nu_low_new

@@ -67,7 +67,8 @@ def least_squares_y(nlp: CanonicalNLP, x, s, grad_f, J_c, J_d, z_L, z_U,
     # Solve min ||A y + b|| via normal equations with tiny Tikhonov for rank
     # deficiency (the reference's aug-system solve handles this via inertia).
     AtA = A.T @ A + 1e-12 * jnp.eye(me + mi, dtype=dtype)
-    y = jnp.linalg.solve(AtA, -(A.T @ b))
+    from ..linalg.ldlt import dense_solve
+    y = dense_solve(AtA, -(A.T @ b))
     too_big = jnp.max(jnp.abs(y), initial=0.0) > y_max
     y = jnp.where(too_big, jnp.zeros_like(y), y)
     return y[:me], y[me:]

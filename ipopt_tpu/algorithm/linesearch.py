@@ -80,6 +80,21 @@ class LineSearchResult(NamedTuple):
     theta_curr: jnp.ndarray
     phi_curr: jnp.ndarray
     penalty_nu: jnp.ndarray
+    # The first (alpha_max, full fraction-to-boundary) trial: the watchdog and
+    # the soft-restoration check need exactly this point, so the solver reuses
+    # these values instead of re-evaluating f/c/d (VERDICT r1: lazily-activated
+    # watchdog, IpBacktrackingLineSearch.cpp:71-237).
+    first_trial: Iterate
+    first_f: jnp.ndarray
+    first_c: jnp.ndarray
+    first_d: jnp.ndarray
+    first_theta: jnp.ndarray
+    first_phi: jnp.ndarray
+    # real evaluation counters (SolveStatistics parity,
+    # IpOrigIpoptNLP.hpp:316-342): trial f/c/d evaluation rounds (incl. SOC)
+    # and SOC KKT backsolves actually performed
+    n_evals: jnp.ndarray
+    n_soc_rounds: jnp.ndarray
 
 
 def _theta(nlp: CanonicalNLP, c, d, s, norm_type: str = "1-norm"):
@@ -231,16 +246,17 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         f_t: jnp.ndarray
         c_t: jnp.ndarray
         d_t: jnp.ndarray
-        theta_first: jnp.ndarray  # theta at the first (alpha_max) trial
+        first: tuple              # (it, f, c, d, theta, phi) at the alpha_max trial
         used_soc: jnp.ndarray
         alpha_used: jnp.ndarray
+        n_soc_rounds: jnp.ndarray
 
     def try_soc(alpha, c_t, d_t, it_t_s):
         """Second-order corrections (A-5.7).  Bounded fori over max_soc rounds,
         each: c_soc = alpha*c + c(trial), resolve with saved factorization."""
         def soc_body(p, carry):
             (best_acc, best_ftype, best_it, best_f, best_c, best_d,
-             c_soc, dms_soc, theta_old, active) = carry
+             c_soc, dms_soc, theta_old, active, n_rounds) = carry
             dsoc = soc_direction(nlp, opts, it, ev, sr.fac, sr.K, mu,
                                  c_soc, dms_soc)
             a_soc, a_soc_dual = fraction_to_boundary(nlp, it, dsoc, tau)
@@ -252,15 +268,15 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
             keep_going = jnp.logical_and(active,
                                          jnp.logical_and(jnp.logical_not(acc),
                                                          th_s <= opts.kappa_soc * theta_old))
-            new_c_soc = a_soc * c_soc + c_s
-            new_dms = a_soc * dms_soc + (d_s - it_soc.s)
             out = (jnp.logical_or(best_acc, acc),
                    jnp.where(acc, isf, best_ftype),
                    jax.tree.map(lambda a, b: jnp.where(acc, b, a), best_it, it_soc),
                    jnp.where(acc, f_s, best_f),
                    jnp.where(acc, c_s, best_c),
                    jnp.where(acc, d_s, best_d),
-                   new_c_soc, new_dms, th_s, keep_going)
+                   a_soc * c_soc + c_s, a_soc * dms_soc + (d_s - it_soc.s),
+                   th_s, keep_going,
+                   n_rounds + active.astype(jnp.int32))
             return out
 
         c_soc0 = alpha * ev.c + c_t
@@ -269,9 +285,9 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
                 c_soc0, dms0,
                 _theta(nlp, c_t, d_t, it_t_s,
                        opts.constraint_violation_norm_type),
-                jnp.ones((), bool))
+                jnp.ones((), bool), jnp.zeros((), jnp.int32))
         out = lax.fori_loop(0, opts.max_soc, soc_body, init)
-        return out[:6]
+        return out[:6] + (out[-1],)
 
     def body(cy: Carry) -> Carry:
         alpha = cy.alpha
@@ -279,11 +295,11 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         acc, isf = acceptable(alpha, theta_t, phi_t)
 
         def with_soc(_):
-            s_acc, s_ftype, s_it, s_f, s_c, s_d = try_soc(alpha, c_t, d_t, it_t.s)
-            return s_acc, s_ftype, s_it, s_f, s_c, s_d
+            return try_soc(alpha, c_t, d_t, it_t.s)
 
         def without_soc(_):
-            return (jnp.zeros((), bool), jnp.zeros((), bool), it_t, f_t, c_t, d_t)
+            return (jnp.zeros((), bool), jnp.zeros((), bool), it_t, f_t, c_t,
+                    d_t, jnp.zeros((), jnp.int32))
 
         if opts.max_soc > 0:
             # SOC attempt: only on the *first* trial, when rejected and the
@@ -291,10 +307,10 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
             do_soc = jnp.logical_and(
                 jnp.logical_and(cy.k == 0, jnp.logical_not(acc)),
                 theta_t >= theta)
-            s_acc, s_ftype, s_it, s_f, s_c, s_d = lax.cond(
+            s_acc, s_ftype, s_it, s_f, s_c, s_d, s_rounds = lax.cond(
                 do_soc, with_soc, without_soc, None)
         else:
-            s_acc, s_ftype, s_it, s_f, s_c, s_d = without_soc(None)
+            s_acc, s_ftype, s_it, s_f, s_c, s_d, s_rounds = without_soc(None)
 
         final_acc = jnp.logical_or(acc, s_acc)
         pick_soc = jnp.logical_and(s_acc, jnp.logical_not(acc))
@@ -304,34 +320,43 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         d_sel = jnp.where(pick_soc, s_d, d_t)
         ftype_sel = jnp.where(pick_soc, s_ftype, isf)
 
+        first_now = (it_t, f_t, c_t, d_t, theta_t, phi_t)
+        first_sel = jax.tree.map(
+            lambda a, b, k0=cy.k == 0: jnp.where(k0, b, a), cy.first, first_now)
+
         # Step to next alpha; stop if accepted or alpha below alpha_min.
         next_alpha = alpha * opts.alpha_red_factor
         done = jnp.logical_or(final_acc, next_alpha < alpha_min)
         return Carry(
             k=cy.k + 1, alpha=next_alpha, done=done, accepted=final_acc,
             ftype=ftype_sel, it_t=it_sel, f_t=f_sel, c_t=c_sel, d_t=d_sel,
-            theta_first=jnp.where(cy.k == 0, theta_t, cy.theta_first),
+            first=first_sel,
             used_soc=jnp.logical_or(cy.used_soc, pick_soc),
-            alpha_used=alpha)
+            alpha_used=alpha,
+            n_soc_rounds=cy.n_soc_rounds + s_rounds)
 
     def cond(cy: Carry):
         return jnp.logical_and(jnp.logical_not(cy.done),
                                cy.k < opts.max_backtracking_steps)
 
     it0 = _trial_point(it, step, alpha_max, alpha_dual)
+    first0 = (it0, ev.f, ev.c, ev.d, jnp.asarray(jnp.inf, dtype),
+              jnp.asarray(jnp.inf, dtype))
     init = Carry(k=jnp.zeros((), jnp.int32), alpha=alpha_max,
                  done=jnp.zeros((), bool), accepted=jnp.zeros((), bool),
                  ftype=jnp.zeros((), bool), it_t=it0, f_t=ev.f, c_t=ev.c,
-                 d_t=ev.d, theta_first=jnp.zeros((), dtype),
-                 used_soc=jnp.zeros((), bool), alpha_used=alpha_max)
+                 d_t=ev.d, first=first0,
+                 used_soc=jnp.zeros((), bool), alpha_used=alpha_max,
+                 n_soc_rounds=jnp.zeros((), jnp.int32))
 
     if opts.accept_every_trial_step:
         it_t, f_t, c_t, d_t, theta_t, phi_t = eval_trial(alpha_max)
         out = Carry(k=jnp.ones((), jnp.int32), alpha=alpha_max,
                     done=jnp.ones((), bool), accepted=jnp.ones((), bool),
                     ftype=jnp.ones((), bool), it_t=it_t, f_t=f_t, c_t=c_t,
-                    d_t=d_t, theta_first=theta_t, used_soc=jnp.zeros((), bool),
-                    alpha_used=alpha_max)
+                    d_t=d_t, first=(it_t, f_t, c_t, d_t, theta_t, phi_t),
+                    used_soc=jnp.zeros((), bool),
+                    alpha_used=alpha_max, n_soc_rounds=jnp.zeros((), jnp.int32))
     else:
         out = lax.while_loop(cond, body, init)
 
@@ -340,12 +365,16 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     fs_new = filter_augment(fs, theta, phi, opts.gamma_theta, opts.gamma_phi)
     fs_out = jax.tree.map(lambda a, b: jnp.where(augment, b, a), fs, fs_new)
 
+    f_it, f_f, f_c, f_d, f_th, f_ph = out.first
     return LineSearchResult(
         accepted=out.accepted, alpha_primal=out.alpha_used,
         alpha_dual=alpha_dual, trial=out.it_t, trial_ev_f=out.f_t,
         trial_c=out.c_t, trial_d=out.d_t, n_backtracks=out.k,
         used_soc=out.used_soc, ftype=out.ftype, filter=fs_out,
-        theta_curr=theta, phi_curr=phi, penalty_nu=nu)
+        theta_curr=theta, phi_curr=phi, penalty_nu=nu,
+        first_trial=f_it, first_f=f_f, first_c=f_c, first_d=f_d,
+        first_theta=f_th, first_phi=f_ph,
+        n_evals=out.k + out.n_soc_rounds, n_soc_rounds=out.n_soc_rounds)
 
 
 def compute_alpha_for_y(nlp: CanonicalNLP, opts: Options, it: Iterate,

@@ -136,5 +136,6 @@ def lbfgs_dense_W(st: LBFGSState) -> jnp.ndarray:
     """Materialize the dense B = sigma I - U M^{-1} U^T (compact form)."""
     n = st.S.shape[0]
     lr = lbfgs_compact(st)
-    Minv_Ut = jnp.linalg.solve(lr.M, lr.U.T)
+    from ..linalg.ldlt import dense_solve
+    Minv_Ut = dense_solve(lr.M, lr.U.T)
     return lr.sigma * jnp.eye(n, dtype=st.S.dtype) - lr.U @ Minv_Ut

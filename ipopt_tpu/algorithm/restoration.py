@@ -190,7 +190,8 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
     ``active``: when this call sits under a vmapped lax.cond (which lowers to
     select-and-execute-both), inactive lanes pass active=False so the nested
     while_loop exits immediately and costs nothing in lockstep."""
-    from .solver import IPMState, initial_state, counters_init  # local import, no cycle at module load
+    from .solver import (IPMState, initial_state, counters_init,  # local import, no cycle at module load
+                         _cache_from_evals)
     from .linesearch import filter_init
 
     n, me, mi = orig.struct.n, orig.struct.me, orig.struct.mi
@@ -243,6 +244,7 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
         cg=_cg_init_resto(resto_opts, dtype),
         tr_omega=jnp.asarray(resto_opts.omega_init, dtype),
         nu_low=jnp.asarray(resto_opts.nu_low_init, dtype),
+        ev=_cache_from_evals(ev_r),
         counters=counters_init())
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry

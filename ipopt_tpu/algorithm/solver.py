@@ -60,6 +60,43 @@ def counters_init() -> Counters:
     return Counters(z, z, z, z, z)
 
 
+class EvCache(NamedTuple):
+    """Cross-iteration evaluation cache — the functional analog of
+    OrigIpoptNLP's tag-keyed caches (IpOrigIpoptNLP.hpp:316-342): f, grad_f,
+    c, d (and the dense Jacobians, dense backend only) at the ACCEPTED iterate
+    are carried into the next iteration instead of being re-evaluated, so one
+    outer iteration costs exactly one full evaluation at the new point."""
+
+    f: jnp.ndarray
+    grad_f: jnp.ndarray
+    c: jnp.ndarray
+    d: jnp.ndarray
+    J_c: Any   # dense backend only; None for structured/matrix-free backends
+    J_d: Any
+
+
+def _cache_from_evals(ev: Evals) -> EvCache:
+    return EvCache(f=ev.f, grad_f=ev.grad_f, c=ev.c, d=ev.d,
+                   J_c=ev.J_c, J_d=ev.J_d)
+
+
+def _evals_from_cache(nlp: CanonicalNLP, x, cache: EvCache) -> Evals:
+    """Rebuild the Evals view at ``x`` (the point the cache was filled at).
+    Dense backend: the transpose products come from the cached Jacobians.
+    Structured backends: rebuild the VJP closures (their forward pass is the
+    only re-computation; f and grad_f are reused)."""
+    if cache.J_c is not None:
+        J_c, J_d = cache.J_c, cache.J_d
+        return Evals(f=cache.f, grad_f=cache.grad_f, c=cache.c, d=cache.d,
+                     J_c=J_c, J_d=J_d,
+                     jc_t=lambda y: J_c.T @ y, jd_t=lambda y: J_d.T @ y)
+    _, c_vjp = jax.vjp(nlp.eval_c, x)
+    _, d_vjp = jax.vjp(nlp.eval_d, x)
+    return Evals(f=cache.f, grad_f=cache.grad_f, c=cache.c, d=cache.d,
+                 J_c=None, J_d=None,
+                 jc_t=lambda y: c_vjp(y)[0], jd_t=lambda y: d_vjp(y)[0])
+
+
 class IPMState(NamedTuple):
     it: Iterate
     mu: jnp.ndarray
@@ -97,6 +134,7 @@ class IPMState(NamedTuple):
     cg: Any  # CGState (Chen-Goldfarb penalty carry; minimal when unused)
     tr_omega: jnp.ndarray   # inexact normal-step trust-region factor
     nu_low: jnp.ndarray     # flexible-penalty lower parameter (inexact)
+    ev: Any = None  # EvCache at ``it`` (filled by initial_state / ipm_step)
 
 
 class SolveResult(NamedTuple):
@@ -210,7 +248,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                    enable_resto: bool) -> IPMState:
     """One outer IPM iteration (the body of IpIpoptAlg.cpp:347-417)."""
     it = st.it
-    ev = evaluate(nlp, it.x)
+    # Reuse the evaluation cache filled at the end of the previous iteration
+    # (or by initial_state) — no re-evaluation at the loop top.
+    ev = _evals_from_cache(nlp, it.x, st.ev)
 
     # --- UpdateBarrierParameter -------------------------------------------
     s_d, s_c = _scaling_s(nlp, it, opts.s_max)
@@ -223,15 +263,15 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         jnp.max(jnp.abs(res0.d_minus_s), initial=0.0))
     compl_fn = _compl_max_fn(nlp, it, s_c)
     # --- UpdateHessian (Exact | LimMemQuasiNewton, IpIpoptAlg.cpp:351) ----
+    _exact_hessian = False  # static: did this iteration evaluate a real W?
     if opts.hessian_approximation == "limited-memory":
-        if nlp.chain is not None:
-            raise NotImplementedError(
-                "limited-memory Hessian with structured KKT backends "
-                "(block-diagonal L-BFGS) is not implemented yet")
-        if (opts.limited_memory_aug_solver == "sherman-morrison"
+        if nlp.chain is not None or (
+                opts.limited_memory_aug_solver == "sherman-morrison"
                 and opts.linear_solver != "minres"):
             # LowRankAugSystemSolver path: keep W in compact form; the KKT
-            # solve condenses + applies Sherman-Morrison-Woodbury.
+            # solve applies Sherman-Morrison-Woodbury around the base system
+            # (dense condensation, or the structured factorization for the
+            # chained/arrow/banded backends — lowrank_struct.py).
             from .quasi_newton import lbfgs_compact
             W = lbfgs_compact(st.lbfgs)
         else:
@@ -242,6 +282,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     else:
         from .step import compute_hessian
         W = compute_hessian(nlp, it)
+        _exact_hessian = True
+    _extra_solves = (2 if (opts.mu_strategy == "adaptive"
+                           or opts.mehrotra_algorithm) else 0)
     ams = st.ams
     if opts.linear_solver == "minres" and (opts.mu_strategy == "adaptive"
                                            or opts.mehrotra_algorithm):
@@ -316,10 +359,6 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             from .matrix_free import mf_search_direction
             sr = mf_search_direction(nlp, opts, it, ev, mu, st.delta_w_last)
         elif opts.line_search_method == "cg-penalty":
-            if nlp.chain is not None:
-                raise NotImplementedError(
-                    "cg-penalty with structured KKT backends is not "
-                    "implemented yet")
             from .cg_penalty import cg_search_direction
             sr, cg_state, cg_aux = cg_search_direction(
                 nlp, opts, it, ev, W, mu, st.delta_w_last, st.cg)
@@ -380,28 +419,59 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     # the trial must become acceptable w.r.t. the stored reference point
     # within watchdog_trial_iter_max iterations, else the reference iterate
     # is restored and a regular search resumes from it.
-    from ..kkt import fraction_to_boundary as _ftb
-    a_pr_max, a_du_max = _ftb(nlp, it, sr.step, tau)
-    wd_trial = jax.tree.map(lambda c, d, ap=a_pr_max, ad=a_du_max: c + ap * d,
-                            it, sr.step)
-    wd_trial = wd_trial._replace(
-        z_L=it.z_L + a_du_max * sr.step.z_L,
-        z_U=it.z_U + a_du_max * sr.step.z_U,
-        v_L=it.v_L + a_du_max * sr.step.v_L,
-        v_U=it.v_U + a_du_max * sr.step.v_U)
-    wd_f = nlp.eval_f(wd_trial.x)
-    wd_c = nlp.eval_c(wd_trial.x)
-    wd_d = nlp.eval_d(wd_trial.x)
+    #
+    # LAZY EVALUATION (IpBacktrackingLineSearch.cpp:71-237 activates the
+    # watchdog only after shortened steps; the reference never pays an extra
+    # trial evaluation when it is idle): the full fraction-to-boundary trial
+    # point is exactly the line search's FIRST trial, so theta/phi/f/c/d are
+    # reused from there; the extra gradient needed for the soft-restoration
+    # primal-dual error is evaluated under lax.cond only when the line search
+    # actually failed.
+    in_wd = jnp.logical_and(st.wd_active, jnp.logical_not(sr.failed))
+    ls_failed = jnp.logical_and(
+        jnp.logical_not(jnp.logical_or(ls.accepted, is_tiny)),
+        jnp.logical_not(sr.failed))
     from .linesearch import _theta as _theta_norm
-    wd_theta = _theta_norm(nlp, wd_c, wd_d, wd_trial.s,
-                           opts.constraint_violation_norm_type)
     from ..kkt import barrier_obj as _bobj
-    wd_phi = _bobj(nlp, wd_trial, wd_f, mu, opts.kappa_d)
+    ls_has_first = not (opts.inexact_algorithm
+                        or opts.line_search_method == "cg-penalty")
+    if ls_has_first:
+        wd_trial = ls.first_trial
+        wd_f, wd_c, wd_d = ls.first_f, ls.first_c, ls.first_d
+        wd_theta, wd_phi = ls.first_theta, ls.first_phi
+    else:
+        # cg-penalty / inexact keep their own acceptors; build + evaluate the
+        # full step only when the watchdog or soft restoration needs it.
+        from ..kkt import fraction_to_boundary as _ftb
+        a_pr_max, a_du_max = _ftb(nlp, it, sr.step, tau)
+        wd_trial = jax.tree.map(
+            lambda c, d, ap=a_pr_max: c + ap * d, it, sr.step)
+        wd_trial = wd_trial._replace(
+            z_L=it.z_L + a_du_max * sr.step.z_L,
+            z_U=it.z_U + a_du_max * sr.step.z_U,
+            v_L=it.v_L + a_du_max * sr.step.v_L,
+            v_U=it.v_U + a_du_max * sr.step.v_U)
+
+        def _wd_eval(wt):
+            f_w = nlp.eval_f(wt.x)
+            c_w = nlp.eval_c(wt.x)
+            d_w = nlp.eval_d(wt.x)
+            th_w = _theta_norm(nlp, c_w, d_w, wt.s,
+                               opts.constraint_violation_norm_type)
+            ph_w = _bobj(nlp, wt, f_w, mu, opts.kappa_d)
+            return f_w, c_w, d_w, th_w, ph_w
+
+        def _wd_skip(wt):
+            big = jnp.asarray(jnp.inf, it.x.dtype)
+            return (big, jnp.full_like(ev.c, jnp.inf),
+                    jnp.full_like(ev.d, jnp.inf), big, big)
+
+        wd_f, wd_c, wd_d, wd_theta, wd_phi = lax.cond(
+            jnp.logical_or(in_wd, ls_failed), _wd_eval, _wd_skip, wd_trial)
     wd_ok = jnp.logical_or(
         wd_theta <= (1.0 - opts.gamma_theta) * st.wd_ref_theta,
         wd_phi <= st.wd_ref_phi - opts.gamma_phi * st.wd_ref_theta)
     wd_exhausted = st.wd_trials + 1 >= opts.watchdog_trial_iter_max
-    in_wd = jnp.logical_and(st.wd_active, jnp.logical_not(sr.failed))
 
     # --- AcceptTrialPoint -------------------------------------------------
     accepted = jnp.logical_and(ls.accepted, jnp.logical_not(sr.failed))
@@ -419,19 +489,30 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     #     soft_resto_pderror_reduction_factor): before the full nested
     #     restoration, accept the full fraction-to-boundary step if it reduces
     #     the primal-dual error enough; at most max_soft_resto_iters in a row.
+    #     The gradient at the trial point is only evaluated when the line
+    #     search actually failed (lax.cond below).
     curr_pd = jnp.maximum(dual_inf, primal_inf)
-    res_wd = kkt_residuals(
-        nlp, wd_trial,
-        Evals(f=wd_f, grad_f=nlp.eval_grad_f(wd_trial.x), c=wd_c, d=wd_d,
-              J_c=None, J_d=None,
-              jc_t=(lambda y, _x=wd_trial.x: jax.vjp(nlp.eval_c, _x)[1](y)[0]),
-              jd_t=(lambda y, _x=wd_trial.x: jax.vjp(nlp.eval_d, _x)[1](y)[0])),
-        mu)
-    wd_pd = jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(res_wd.grad_lag_x), initial=0.0),
-                    jnp.max(jnp.abs(res_wd.grad_lag_s), initial=0.0)),
-        jnp.maximum(jnp.max(jnp.abs(res_wd.c), initial=0.0),
-                    jnp.max(jnp.abs(res_wd.d_minus_s), initial=0.0)))
+
+    def _soft_pd(args):
+        wt, f_w, c_w, d_w = args
+        res_wd = kkt_residuals(
+            nlp, wt,
+            Evals(f=f_w, grad_f=nlp.eval_grad_f(wt.x), c=c_w, d=d_w,
+                  J_c=None, J_d=None,
+                  jc_t=(lambda y, _x=wt.x: jax.vjp(nlp.eval_c, _x)[1](y)[0]),
+                  jd_t=(lambda y, _x=wt.x: jax.vjp(nlp.eval_d, _x)[1](y)[0])),
+            mu)
+        return jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(res_wd.grad_lag_x), initial=0.0),
+                        jnp.max(jnp.abs(res_wd.grad_lag_s), initial=0.0)),
+            jnp.maximum(jnp.max(jnp.abs(res_wd.c), initial=0.0),
+                        jnp.max(jnp.abs(res_wd.d_minus_s), initial=0.0)))
+
+    def _soft_pd_skip(args):
+        return jnp.asarray(jnp.inf, it.x.dtype)
+
+    wd_pd = lax.cond(ls_failed, _soft_pd, _soft_pd_skip,
+                     (wd_trial, wd_f, wd_c, wd_d))
     soft_ok = jnp.logical_and(
         jnp.logical_and(jnp.logical_not(accepted),
                         jnp.logical_not(sr.failed)),
@@ -475,9 +556,10 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     # be the original problem; skip tracing the nested solver entirely.
     if enable_resto and nlp.struct.me + nlp.struct.mi == 0:
         enable_resto = False
-    # Restoration for the scenario (arrow) backend is a later milestone.
+    # Restoration for the banded backend is a later milestone (the banded
+    # resto NLP needs its own symbolic analysis pass).
     from .step import _backend
-    if enable_resto and _backend(nlp) == "arrow":
+    if enable_resto and _backend(nlp) == "banded":
         enable_resto = False
 
     if enable_resto:
@@ -491,6 +573,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         if _backend(nlp) == "btd":
             from .chained_resto import perform_restoration_chained
             rr = perform_restoration_chained(
+                nlp, opts, resto_opts, it, ev, mu, fs_entry,
+                ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
+        elif _backend(nlp) == "arrow":
+            from .arrow_resto import perform_restoration_arrow
+            rr = perform_restoration_arrow(
                 nlp, opts, resto_opts, it, ev, mu, fs_entry,
                 ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
         else:
@@ -522,7 +609,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
 
     if opts.print_level >= 5 or (opts.output_file
                                  and opts.file_print_level >= 5):
-        _print_iter(st.iter_count, ev.f, primal_inf, dual_inf, mu, step_norm,
+        # inf_pr_output (IpOrigIterationOutput.cpp): 'original' = unscaled
+        # max-norm violation; 'internal' = the line-search theta norm.
+        inf_pr_show = (ls.theta_curr if opts.inf_pr_output == "internal"
+                       else primal_inf)
+        _print_iter(st.iter_count, ev.f, inf_pr_show, dual_inf, mu, step_norm,
                     sr.delta_x, ls.alpha_dual, ls.alpha_primal, ls.n_backtracks)
 
     # --- intermediate_callback (TNLP::intermediate_callback parity,
@@ -621,13 +712,32 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         lbfgs = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), lbfgs, upd)
     res_new = kkt_residuals(nlp, new_it, ev_new, 0.0)
     E, d_inf, p_inf, c_inf = optimality_error(nlp, new_it, res_new, opts.s_max)
+    # acceptable_obj_change_tol (IpOptErrorConvCheck.cpp:221-235): relative
+    # objective change between consecutive accepted iterates.
+    obj_change_rel = (jnp.abs(ev_new.f - ev.f)
+                      / jnp.maximum(1.0, jnp.abs(ev_new.f)))
     conv = check_convergence(opts, st.iter_count + 1, st.acceptable_count,
                              E, d_inf, p_inf, c_inf,
-                             jnp.max(jnp.abs(new_it.x), initial=0.0))
+                             jnp.max(jnp.abs(new_it.x), initial=0.0),
+                             obj_change_rel=obj_change_rel)
     status = jnp.where(status == int(SolverReturn.CONTINUE), conv.status, status)
     status = jnp.where(
         jnp.logical_and(status == int(SolverReturn.CONTINUE), tiny_count >= 2),
         int(SolverReturn.STOP_AT_TINY_STEP), status)
+    # INVALID_NUMBER_DETECTED (Eval_Error handling, IpIpoptAlg.cpp:531-537 +
+    # HasValidNumbers guards, IpVector.hpp:386): a NaN/Inf at the *accepted*
+    # iterate is unrecoverable — trial-point NaNs are already rejected by the
+    # filter comparisons.
+    finite_ok = jnp.logical_and(
+        jnp.logical_and(jnp.isfinite(ev_new.f),
+                        jnp.all(jnp.isfinite(new_it.x))),
+        jnp.logical_and(jnp.all(jnp.isfinite(ev_new.c)),
+                        jnp.logical_and(jnp.all(jnp.isfinite(ev_new.d)),
+                                        jnp.all(jnp.isfinite(ev_new.grad_f)))))
+    status = jnp.where(
+        jnp.logical_and(status == int(SolverReturn.CONTINUE),
+                        jnp.logical_not(finite_ok)),
+        int(SolverReturn.INVALID_NUMBER_DETECTED), status)
 
     return IPMState(
         it=new_it, mu=mu, tau=tau,
@@ -647,13 +757,22 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         cg=cg_state,
         tr_omega=new_tr_omega,
         nu_low=nu_low_state,
+        ev=_cache_from_evals(ev_new),
+        # Real evaluation counts (IpOrigIpoptNLP.hpp:316-342): one full
+        # evaluation at the new accepted point, plus the line-search trials
+        # (incl. SOC rounds), plus the lazily-evaluated watchdog point.
         counters=Counters(
-            n_obj_evals=st.counters.n_obj_evals + 1 + ls.n_backtracks,
-            n_grad_evals=st.counters.n_grad_evals + 2,
-            n_hess_evals=st.counters.n_hess_evals + 1,
+            n_obj_evals=(st.counters.n_obj_evals + 1 + ls.n_evals
+                         + jnp.where(jnp.logical_and(
+                             jnp.asarray(not ls_has_first),
+                             jnp.logical_or(in_wd, ls_failed)), 1, 0)),
+            n_grad_evals=(st.counters.n_grad_evals + 1
+                          + jnp.where(ls_failed, 1, 0)),
+            n_hess_evals=st.counters.n_hess_evals + jnp.asarray(
+                1 if _exact_hessian else 0, jnp.int32),
             n_factorizations=st.counters.n_factorizations + sr.num_trials,
-            n_kkt_solves=st.counters.n_kkt_solves + 1
-            + jnp.where(ls.used_soc, opts.max_soc, 0)))
+            n_kkt_solves=(st.counters.n_kkt_solves + 1 + ls.n_soc_rounds
+                          + jnp.asarray(_extra_solves, jnp.int32))))
 
 
 def initial_state(nlp: CanonicalNLP, opts: Options,
@@ -665,6 +784,10 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         it = warm_start_initialize(nlp, opts, it0)
     else:
         it = it0
+    # warm_start_target_mu (IpWarmStartIterateInitializer.cpp): re-target the
+    # barrier parameter on warm starts instead of restarting from mu_init.
+    if it0 is not None and opts.warm_start_target_mu > 0.0:
+        opts = opts.replace(mu_init=opts.warm_start_target_mu)
     ev = evaluate(nlp, it.x)
     from .linesearch import _theta as _th0
     theta0 = _th0(nlp, ev.c, ev.d, it.s,
@@ -700,22 +823,28 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         cg=_cg_init(opts, dtype),
         tr_omega=jnp.asarray(opts.omega_init, dtype),
         nu_low=jnp.asarray(opts.nu_low_init, dtype),
+        ev=_cache_from_evals(ev),
         counters=counters_init())
 
 
-def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
-    """The outer while_loop.  Also performs the initial convergence check
-    (IpIpoptAlg.cpp:343)."""
-    ev = evaluate(nlp, st.it.x)
+def _initial_check(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
+    """The convergence check before the first iteration (IpIpoptAlg.cpp:343)."""
+    ev = _evals_from_cache(nlp, st.it.x, st.ev)
     res = kkt_residuals(nlp, st.it, ev, 0.0)
     E, d_inf, p_inf, c_inf = optimality_error(nlp, st.it, res, opts.s_max)
     conv = check_convergence(opts, st.iter_count, st.acceptable_count,
                              E, d_inf, p_inf, c_inf,
                              jnp.max(jnp.abs(st.it.x), initial=0.0))
-    st = st._replace(status=jnp.where(
+    return st._replace(status=jnp.where(
         jnp.logical_and(st.status == int(SolverReturn.CONTINUE),
                         conv.status == int(SolverReturn.SUCCESS)),
         conv.status, st.status))
+
+
+def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
+    """The outer while_loop.  Also performs the initial convergence check
+    (IpIpoptAlg.cpp:343)."""
+    st = _initial_check(nlp, opts, st)
 
     def cond(s: IPMState):
         return s.status == int(SolverReturn.CONTINUE)
@@ -726,6 +855,61 @@ def run_ipm(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
     return lax.while_loop(cond, body, st)
 
 
+@partial(jax.jit, static_argnames=("opts",))
+def _start_state(nlp: CanonicalNLP, opts: Options,
+                 it0: Optional[Iterate] = None) -> IPMState:
+    return _initial_check(nlp, opts, initial_state(nlp, opts, it0))
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _run_ipm_bounded(nlp: CanonicalNLP, opts: Options, st: IPMState,
+                     iter_stop) -> IPMState:
+    """run_ipm with a dynamic iteration ceiling — the host-chunked driver for
+    max_wall_time / max_cpu_time enforcement (the axon TPU platform has no
+    host callbacks, so wall/cpu clocks are checked between chunks)."""
+
+    def cond(s: IPMState):
+        return jnp.logical_and(s.status == int(SolverReturn.CONTINUE),
+                               s.iter_count < iter_stop)
+
+    def body(s: IPMState):
+        return ipm_step_with_resto(nlp, opts, s)
+
+    return lax.while_loop(cond, body, st)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _finalize_jit(nlp: CanonicalNLP, opts: Options, st: IPMState) -> SolveResult:
+    return finalize(nlp, opts, st)
+
+
+def _solve_time_limited(cnlp: CanonicalNLP, opts: Options, it0=None,
+                        chunk: int = 5) -> SolveResult:
+    """Run the IPM in host-side chunks of ``chunk`` iterations, checking the
+    wall/CPU clocks between chunks (OptErrorConvCheck's max_wall_time /
+    max_cpu_time, IpOptErrorConvCheck.cpp:167-213).  The first chunk includes
+    compile time, exactly like the reference includes symbolic-factorization
+    time in its budget."""
+    import time as _time
+    t0_wall = _time.perf_counter()
+    t0_cpu = _time.process_time()
+    st = _start_state(cnlp, opts, it0)
+    while True:
+        status = int(jax.device_get(st.status))
+        if status != int(SolverReturn.CONTINUE):
+            break
+        if _time.perf_counter() - t0_wall > opts.max_wall_time:
+            st = st._replace(status=jnp.full(
+                (), int(SolverReturn.WALLTIME_EXCEEDED), jnp.int32))
+            break
+        if _time.process_time() - t0_cpu > opts.max_cpu_time:
+            st = st._replace(status=jnp.full(
+                (), int(SolverReturn.CPUTIME_EXCEEDED), jnp.int32))
+            break
+        st = _run_ipm_bounded(cnlp, opts, st, st.iter_count + chunk)
+    return _finalize_jit(cnlp, opts, st)
+
+
 def finalize(nlp: CanonicalNLP, opts: Options, st: IPMState) -> SolveResult:
     """Build the SolveResult: map back to user space, unscale, final stats."""
     it = st.it
@@ -734,7 +918,7 @@ def finalize(nlp: CanonicalNLP, opts: Options, st: IPMState) -> SolveResult:
         xr = jnp.where(nlp.has_xL, jnp.maximum(it.x, nlp.x_L_orig), it.x)
         xr = jnp.where(nlp.has_xU, jnp.minimum(xr, nlp.x_U_orig), xr)
         x_user = nlp.x_full(xr)
-    ev = evaluate(nlp, it.x)
+    ev = _evals_from_cache(nlp, it.x, st.ev)
     res = kkt_residuals(nlp, it, ev, 0.0)
     E, d_inf, p_inf, c_inf = optimality_error(nlp, it, res, opts.s_max)
     # user-order constraint values and multipliers
@@ -785,9 +969,38 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     opts = options or Options()
     if option_kwargs:
         opts = opts.replace(**option_kwargs)
+    # ipopt.opt-style options file (OptionsList::ReadFromStream via
+    # IpoptApplication::Initialize, IpIpoptApplication.cpp:160-347).  File
+    # values fill in options still at their defaults; explicitly-set values
+    # (the options object / kwargs) win, matching allow_clobber=false.
+    if opts.option_file_name:
+        import os as _os
+        if _os.path.exists(opts.option_file_name):
+            from ..options import parse_options_file
+            file_vals = parse_options_file(
+                open(opts.option_file_name).read())
+            defaults = Options()
+            fill = {k: v for k, v in file_vals.items()
+                    if getattr(opts, k) == getattr(defaults, k)}
+            if fill:
+                opts = opts.replace(**fill)
+    if opts.suppress_all_output:
+        opts = opts.replace(print_level=0, file_print_level=0,
+                            print_timing_statistics=False)
     from ..journalist import (configure_from_options, EJournalLevel,
                               EJournalCategory)
     jnlst = configure_from_options(opts)
+    if opts.print_user_options and opts.print_level > 0:
+        defaults = Options()
+        for f_ in dataclasses.fields(opts):
+            cur = getattr(opts, f_.name)
+            if cur != getattr(defaults, f_.name):
+                jnlst.printf(EJournalLevel.J_SUMMARY, EJournalCategory.J_MAIN,
+                             f"  {f_.name} = {cur}\n")
+    if opts.print_options_documentation and opts.print_level > 0:
+        from ..options import print_options_documentation as _pod
+        jnlst.printf(EJournalLevel.J_SUMMARY, EJournalCategory.J_MAIN,
+                     _pod() + "\n")
     if intermediate_callback is not None:
         from ..options import register_callback
         opts = opts.replace(
@@ -797,6 +1010,11 @@ def solve(problem, options: Optional[Options] = None, it0=None,
         opts = opts.replace(max_soc=0)
     from ..chained import ChainedNLP, canonicalize_chained
     from ..parallel.scenario import ScenarioNLP, canonicalize_scenario
+    if isinstance(problem, NLP) and opts.replace_bounds:
+        # NLPBoundsRemover (IpNLPBoundsRemover.hpp:23) via replace_bounds
+        # (IpIpoptApplication.cpp:524-527)
+        from ..interfaces.transforms import remove_bounds
+        problem = remove_bounds(problem)
     if isinstance(problem, NLP) and opts.inexact_algorithm:
         # The inexact algorithm requires variable bounds as inequality rows
         # (InexactAlgorithmBuilder requires NLPBoundsRemover,
@@ -822,7 +1040,14 @@ def solve(problem, options: Optional[Options] = None, it0=None,
                              f"c_dep[{k}] = {i}\n")
             from ..interfaces.transforms import reduce_constraints
             problem = reduce_constraints(problem, deps)
-    if isinstance(problem, NLP):
+    if isinstance(problem, NLP) and opts.linear_solver == "banded-bcr":
+        # General-sparsity path: symbolic analysis -> RCM banding -> BCR
+        # (the MA27/MA57 capability class; ipopt_tpu/sparse.py).  Uses the
+        # NLP's declared jac_g_sparsity / lag_hess_sparsity when present,
+        # exact AD auto-detection otherwise.
+        from ..sparse import canonicalize_sparse
+        cnlp = canonicalize_sparse(problem, opts)
+    elif isinstance(problem, NLP):
         cnlp = canonicalize(problem, opts)
     elif isinstance(problem, ChainedNLP):
         cnlp = canonicalize_chained(problem, opts)
@@ -845,10 +1070,12 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     if opts.print_level >= 5 or (opts.output_file
                                  and opts.file_print_level >= 5):
         _print_header()
+    time_limited = opts.max_wall_time < 1e19 or opts.max_cpu_time < 1e6
     if opts.timing_statistics or opts.print_timing_statistics:
         import time as _time
         t0 = _time.perf_counter()
-        res = _solve_canonical(cnlp, opts, it0)
+        res = (_solve_time_limited(cnlp, opts, it0) if time_limited
+               else _solve_canonical(cnlp, opts, it0))
         jax.block_until_ready(res.x)
         wall = _time.perf_counter() - t0
         if opts.print_level > 0 or opts.print_timing_statistics:
@@ -862,6 +1089,8 @@ def solve(problem, options: Optional[Options] = None, it0=None,
             print(f"KKT factorizations..................: {int(c.n_factorizations)}")
             print(f"KKT backsolve batches...............: {int(c.n_kkt_solves)}")
         return res
+    if time_limited:
+        return _solve_time_limited(cnlp, opts, it0)
     return _solve_canonical(cnlp, opts, it0)
 
 

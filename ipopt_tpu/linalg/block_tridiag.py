@@ -98,13 +98,12 @@ def _dense_ldlt_block(A):
 
 def _block_solve(L, d, B):
     """(L D L^T)^{-1} B for one block; B is (b, k)."""
+    from .ldlt import tri_solve_unit_lower
     tiny = jnp.finfo(L.dtype).tiny
     safe_d = jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
-    y = lax.linalg.triangular_solve(L, B, left_side=True, lower=True,
-                                    unit_diagonal=True)
+    y = tri_solve_unit_lower(L, B)
     z = y / safe_d[:, None]
-    return lax.linalg.triangular_solve(L, z, left_side=True, lower=True,
-                                       transpose_a=True, unit_diagonal=True)
+    return tri_solve_unit_lower(L, z, transpose=True)
 
 
 _vsolve = jax.vmap(_block_solve)

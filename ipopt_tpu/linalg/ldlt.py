@@ -28,6 +28,62 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _subst_fwd(L, B):
+    """Forward substitution: solve L Y = B (L unit lower, B (n, m))."""
+    n = L.shape[0]
+    idx = jnp.arange(n)
+
+    def body(k, Y):
+        yk = Y[k]
+        mask = (idx > k)[:, None]
+        return Y - jnp.where(mask, L[:, k][:, None] * yk[None, :], 0.0)
+
+    return lax.fori_loop(0, n, body, B)
+
+
+def _subst_bwd(L, B):
+    """Backward substitution: solve L^T X = B (L unit lower, B (n, m))."""
+    n = L.shape[0]
+    idx = jnp.arange(n)
+
+    def body(i, X):
+        k = n - 1 - i
+        xk = X[k]
+        mask = (idx < k)[:, None]
+        return X - jnp.where(mask, L[k, :][:, None] * xk[None, :], 0.0)
+
+    return lax.fori_loop(0, n, body, B)
+
+
+def tri_solve_unit_lower(L, B, transpose: bool = False):
+    """Solve L Y = B (or L^T Y = B) for unit-lower-triangular L.
+
+    On TPU this is the native (XLA-expanded) TriangularSolve.  On CPU jax
+    lowers TriangularSolve to a LAPACK ``lapack_*trsm_ffi`` custom call, and
+    this image's XLA build intermittently drops the typed-FFI api_version on
+    custom calls inside while-loop regions ("No registered implementation for
+    untyped custom call to lapack_dtrsm_ffi for Host"), so the CPU path uses
+    an explicit fori-loop substitution instead — same O(n^2 m) work.
+    """
+    if jax.default_backend() == "cpu":
+        return _subst_bwd(L, B) if transpose else _subst_fwd(L, B)
+    return lax.linalg.triangular_solve(L, B, left_side=True, lower=True,
+                                       transpose_a=transpose,
+                                       unit_diagonal=True)
+
+
+def dense_solve(A, b):
+    """Solve A x = b for a small symmetric matrix.
+
+    TPU: jnp.linalg.solve (native LU).  CPU: our own unpivoted LDL^T with
+    substitution solves, avoiding the LAPACK getrf/trsm custom calls entirely
+    (see tri_solve_unit_lower for why)."""
+    if jax.default_backend() != "cpu":
+        return jnp.linalg.solve(A, b)
+    fac = ldlt(A)
+    return ldlt_solve(fac, b)
+
+
 class LDLTResult(NamedTuple):
     L: jnp.ndarray        # unit lower triangular factor (strict lower + I)
     d: jnp.ndarray        # diagonal of D
@@ -142,10 +198,8 @@ def ldlt_blocked(A: jnp.ndarray, block: int = 128, pivot_tol: float = 0.0) -> LD
         row_idx = jnp.arange(npad)
         below_mask = (row_idx >= r0 + block)[:, None]
         B = jnp.where(below_mask, B, 0.0)
-        # Solve X Lkk^T = B  =>  X = B Lkk^{-T}
-        X = lax.linalg.triangular_solve(
-            Lkk, B, left_side=False, lower=True, transpose_a=True,
-            unit_diagonal=True)
+        # Solve X Lkk^T = B  =>  Lkk X^T = B^T  =>  X = (Lkk^{-1} B^T)^T
+        X = tri_solve_unit_lower(Lkk, B.T).T
         safe_dk = jnp.where(jnp.abs(dk) > tiny, dk, jnp.where(dk >= 0, tiny, -tiny))
         Lpan = X / safe_dk[None, :]
         # Trailing update: A -= Lpan * D * Lpan^T (only lower-right affects result,
@@ -176,13 +230,11 @@ def ldlt_solve(fac: LDLTResult, b: jnp.ndarray) -> jnp.ndarray:
     B = b[:, None] if vec else b
     if fac.row_scale is not None:
         B = B * fac.row_scale[:, None]
-    y = lax.linalg.triangular_solve(L, B, left_side=True, lower=True,
-                                    unit_diagonal=True)
+    y = tri_solve_unit_lower(L, B)
     tiny = jnp.finfo(L.dtype).tiny
     safe_d = jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
     z = y / safe_d[:, None]
-    x = lax.linalg.triangular_solve(L, z, left_side=True, lower=True,
-                                    transpose_a=True, unit_diagonal=True)
+    x = tri_solve_unit_lower(L, z, transpose=True)
     if fac.row_scale is not None:
         x = x * fac.row_scale[:, None]
     return x[:, 0] if vec else x
