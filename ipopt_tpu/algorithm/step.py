@@ -214,7 +214,12 @@ def _backend(nlp: CanonicalNLP) -> str:
     if info is None:
         return "dense"
     from ..parallel.scenario import ArrowInfo
-    return "arrow" if isinstance(info, ArrowInfo) else "btd"
+    from ..sparse import BandedInfo
+    if isinstance(info, ArrowInfo):
+        return "arrow"
+    if isinstance(info, BandedInfo):
+        return "banded"
+    return "btd"
 
 
 def compute_hessian(nlp: CanonicalNLP, it: Iterate):
@@ -226,19 +231,32 @@ def compute_hessian(nlp: CanonicalNLP, it: Iterate):
     if be == "arrow":
         from ..parallel.scenario import scenario_hessians
         return scenario_hessians(nlp, it.x, it.y_c, it.y_d)
+    if be == "banded":
+        from ..sparse import sparse_hessian_values
+        return sparse_hessian_values(nlp, it)
     return nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
 
 
 def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
-                  hess, mu, delta_w_last):
-    """Backend dispatch: dense LDL^T, chained block-tridiagonal BCR, or
-    scenario block-arrow Schur.
+                  hess, mu, delta_w_last, delta_cd_override=None):
+    """Backend dispatch: dense LDL^T, chained block-tridiagonal BCR, banded
+    BCR, or scenario block-arrow Schur.
 
-    ``hess`` is backend-shaped: dense (n, n) W, (Wd, Wo) stage blocks, or
-    (W00, W0s, Wss) arrow blocks.
+    ``hess`` is backend-shaped: dense (n, n) W, (Wd, Wo) stage blocks,
+    compressed Hessian entry values (banded), or (W00, W0s, Wss) arrow
+    blocks.  ``delta_cd_override`` replaces the mu-based Jacobian
+    regularization (CGPerturbationHandler's value; structured backends still
+    floor it for block-elimination safety).
     """
     from .quasi_newton import LowRankW
     if isinstance(hess, LowRankW):
+        if _backend(nlp) != "dense":
+            # L-BFGS over structured backends: SMW around the structured
+            # base factorization (LowRankAugSystemSolver composition,
+            # IpAlgBuilder.cpp:568-628 — solver-agnostic in the reference).
+            from .lowrank_struct import lowrank_struct_factorize
+            return lowrank_struct_factorize(nlp, opts, it, hess, mu,
+                                            delta_w_last)
         from .lowrank_kkt import lowrank_factorize_kkt
         return lowrank_factorize_kkt(nlp, opts, it, ev, hess, mu, delta_w_last)
     be = _backend(nlp)
@@ -246,13 +264,21 @@ def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         from .chained_kkt import chained_factorize_kkt
         from ..chained import stage_jacobians
         AB = stage_jacobians(nlp, it.x)
-        return chained_factorize_kkt(nlp, opts, it, AB, hess, mu, delta_w_last)
+        return chained_factorize_kkt(nlp, opts, it, AB, hess, mu,
+                                     delta_w_last,
+                                     delta_cd_override=delta_cd_override)
     if be == "arrow":
         from .arrow_kkt import arrow_factorize_kkt
         from ..parallel.scenario import scenario_jacobians
         Jb = scenario_jacobians(nlp, it.x)
-        return arrow_factorize_kkt(nlp, opts, it, Jb, hess, mu, delta_w_last)
-    return factorize_kkt(nlp, opts, it, ev, hess, mu, delta_w_last)
+        return arrow_factorize_kkt(nlp, opts, it, Jb, hess, mu, delta_w_last,
+                                   delta_cd_override=delta_cd_override)
+    if be == "banded":
+        from ..sparse import banded_factorize_kkt
+        return banded_factorize_kkt(nlp, opts, it, hess, mu, delta_w_last,
+                                    delta_cd_override=delta_cd_override)
+    return factorize_kkt(nlp, opts, it, ev, hess, mu, delta_w_last,
+                         delta_cd_override=delta_cd_override)
 
 
 def solve_any(nlp: CanonicalNLP, opts: Options, fac, K, parts):
@@ -261,6 +287,10 @@ def solve_any(nlp: CanonicalNLP, opts: Options, fac, K, parts):
     from .lowrank_kkt import LowRankKKT, lowrank_solve_refined
     if isinstance(fac, LowRankKKT):
         return lowrank_solve_refined(fac, parts, opts)
+    from .lowrank_struct import StructLowRankKKT
+    if isinstance(fac, StructLowRankKKT):
+        from .lowrank_struct import lowrank_struct_solve_refined
+        return lowrank_struct_solve_refined(nlp, opts, fac, parts)
     be = _backend(nlp)
     if be == "btd":
         from .chained_kkt import pack_rhs, unpack_sol, chained_solve_refined
@@ -273,6 +303,12 @@ def solve_any(nlp: CanonicalNLP, opts: Options, fac, K, parts):
         r0, rs = pack_rhs_arrow(nlp, *parts)
         (w0, ws), rr = arrow_solve_refined(K, fac, r0, rs, opts)
         return unpack_sol_arrow(nlp, w0, ws), rr
+    if be == "banded":
+        from ..sparse import pack_rhs_banded, unpack_sol_banded
+        from .chained_kkt import chained_solve_refined
+        rhs = pack_rhs_banded(nlp, *parts)
+        sol, rr = chained_solve_refined(K, fac, rhs, opts)
+        return unpack_sol_banded(nlp, sol), rr
     rhs = jnp.concatenate(parts)
     sol, rr = solve_with_refinement(K, fac, rhs, opts)
     return split_aug_solution(sol, nlp.n, nlp.mi, nlp.me), rr

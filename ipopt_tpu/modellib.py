@@ -94,6 +94,38 @@ def luksan_vlcek1(n: int, v: int = 2) -> ChainedNLP:
         name=f"luksan_vlcek1_n{n}_v{v}")
 
 
+def luksan_vlcek1_flat(n: int) -> NLP:
+    """LuksanVlcek1 as a flat NLP with *declared* sparsity for the banded-BCR
+    backend (examples/ScalableProblems/LuksanVlcek1.cpp; same math as the
+    chained builder above, expressed as one vector function).
+
+    J row i covers x_i..x_{i+2} (m = n-2 equality rows); the Lagrangian
+    Hessian has bandwidth 2.  At n = 1e5..1e6 this exercises the
+    general-sparsity path end to end: declared pattern -> RCM -> banded BCR.
+    """
+    assert n >= 4
+    m = n - 2
+
+    def f(x):
+        return jnp.sum(100.0 * (x[:-1] ** 2 - x[1:]) ** 2
+                       + (x[:-1] - 1.0) ** 2)
+
+    def g(x):
+        a = x[0:m]
+        b = x[1:m + 1]
+        c = x[2:m + 2]
+        return (3.0 * b ** 3 + 2.0 * c - 5.0
+                + jnp.sin(b - c) * jnp.sin(b + c)
+                + 4.0 * b - a * jnp.exp(a - b) - 3.0)
+
+    x0 = np.full(n, -1.0)
+    x0[1::2] = 1.0
+    return NLP(name=f"luksan_vlcek1_flat{n}",
+               f=f, g=g, g_L=np.zeros(m), g_U=np.zeros(m), x0=x0,
+               jac_g_sparsity=band_sparsity(m, n, 0, 2),
+               lag_hess_sparsity=band_sparsity(n, n, -2, 2))
+
+
 def mittelmann_bndry_control_1d(N: int, v: int = 0) -> ChainedNLP:
     """A 1-D analogue of MittelmannBndryCntrlDiri (examples/ScalableProblems):
     discretized Poisson boundary control
@@ -210,6 +242,21 @@ def luksan_vlcek2(n: int, equality: bool = True) -> NLP:
                f=f, g=g, g_L=g_L, g_U=g_U, x0=x0)
 
 
+def band_sparsity(m: int, n: int, lo_off: int, hi_off: int):
+    """COO pattern of a banded (m, n) matrix: row i covers columns
+    i+lo_off .. i+hi_off (clipped).  Used to *declare* Jacobian/Hessian
+    structure for the banded-BCR backend at sizes where dense auto-detection
+    is infeasible (TNLP's eval_jac_g structure equivalent)."""
+    rows = []
+    cols = []
+    for off in range(lo_off, hi_off + 1):
+        i = np.arange(max(0, -off), min(m, n - off))
+        rows.append(i)
+        cols.append(i + off)
+    return (np.concatenate(rows).astype(np.int32),
+            np.concatenate(cols).astype(np.int32))
+
+
 def luksan_vlcek4(n: int, equality: bool = True) -> NLP:
     """LuksanVlcek4 (examples/ScalableProblems/LuksanVlcek4.cpp): chained
     exponential/tangent objective over 4-wide windows, 3-wide cubic
@@ -245,7 +292,11 @@ def luksan_vlcek4(n: int, equality: bool = True) -> NLP:
     g_L = np.zeros(m) if equality else np.full(m, -1.0)
     g_U = np.zeros(m)
     return NLP(name=f"luksan_vlcek4_{'E' if equality else 'I'}{n}",
-               f=f, g=g, g_L=g_L, g_U=g_U, x0=x0v)
+               f=f, g=g, g_L=g_L, g_U=g_U, x0=x0v,
+               # declared structure (banded-BCR backend): J row i covers
+               # x_i..x_{i+2}; the Lagrangian Hessian is tridiagonal
+               jac_g_sparsity=band_sparsity(m, n, 0, 2),
+               lag_hess_sparsity=band_sparsity(n, n, -1, 1))
 
 
 def luksan_vlcek5(n: int, equality: bool = True) -> NLP:
@@ -273,7 +324,10 @@ def luksan_vlcek5(n: int, equality: bool = True) -> NLP:
     g_L = np.zeros(m) if equality else np.full(m, -1.0)
     g_U = np.zeros(m)
     return NLP(name=f"luksan_vlcek5_{'E' if equality else 'I'}{n}",
-               f=f, g=g, g_L=g_L, g_U=g_U, x0=np.full(n, -1.0))
+               f=f, g=g, g_L=g_L, g_U=g_U, x0=np.full(n, -1.0),
+               # J row i covers x_{i+1}..x_{i+5}; Hessian has bandwidth 2
+               jac_g_sparsity=band_sparsity(m, n, 1, 5),
+               lag_hess_sparsity=band_sparsity(n, n, -2, 2))
 
 
 def luksan_vlcek6(n: int, equality: bool = True) -> NLP:

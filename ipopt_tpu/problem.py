@@ -55,6 +55,13 @@ class NLP:
     y0: Optional[Any] = None        # constraint multipliers, shape (m,)
     z_L0: Optional[Any] = None
     z_U0: Optional[Any] = None
+    # Optional declared sparsity for the banded-BCR backend (TNLP's
+    # get_nlp_info/eval_jac_g structure equivalent, IpTNLP.hpp:99):
+    # (rows, cols) COO arrays of dg/dx and of the Lagrangian Hessian
+    # (either triangle or full; symmetrized internally).  When absent the
+    # backend auto-detects the pattern for small problems.
+    jac_g_sparsity: Optional[Any] = None
+    lag_hess_sparsity: Optional[Any] = None
     name: str = "nlp"
 
 

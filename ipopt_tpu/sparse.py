@@ -1,0 +1,683 @@
+"""General-sparsity KKT backend: static symbolic analysis -> bandwidth-
+reducing permutation -> block-tridiagonal BCR factorization.
+
+Reference parity: the MA27/MA57 capability class — *any* sparse NLP, any
+structure — fed through triplet sparsity
+(``src/Algorithm/LinearSolvers/IpMa27TSolverInterface.hpp:276-297``,
+``IpTSymLinearSolver.hpp:33-84``).  In the reference the user always declares
+the Jacobian/Hessian sparsity through TNLP (``IpTNLP.hpp:99`` get_nlp_info
+nnz counts + structure callbacks); here the same declaration is
+``NLP.jac_g_sparsity`` / ``NLP.lag_hess_sparsity`` (COO row/col arrays), and
+for small problems the pattern is auto-detected exactly by dense AD probing
+at randomized points.
+
+TPU-native design (SURVEY.md §7 step 4 "static symbolic analysis →
+block/banded Pallas LDLᵀ"):
+
+1.  At canonicalize time (pure numpy, once): build the augmented-KKT pattern
+    over the unknowns [x | s | y_c | y_d], run reverse Cuthill–McKee, measure
+    the half-bandwidth ``bw``, and pick a block size ``b >= bw`` — the
+    permuted KKT is then *block-tridiagonal* and the existing BCR machinery
+    (``linalg/block_tridiag.py``: batched MXU block elimination, exact
+    Sylvester inertia, explicit-inverse Pallas kernels) applies unchanged.
+    This mirrors MA27's split into symbolic analysis (once) and numeric
+    factorization (per iteration).
+2.  Greedy distance-2 colorings of the Jacobian columns and the Hessian
+    columns give compressed-AD seed matrices, so the per-iteration numeric
+    values cost ``n_colors_J`` JVPs of g plus ``n_colors_H``
+    Hessian-vector products — never a dense Jacobian or Hessian
+    (Curtis–Powell–Reid / coloring-based compressed derivatives).
+3.  Per iteration (inside jit): gather the entry values from the compressed
+    derivative matrices and scatter-add them (precomputed static targets)
+    into the (nb, b, b) diag/sub arrays; factorize with ``bcr_factorize``
+    inside the same inertia-correction retry loop the dense path uses.
+
+Everything here keeps the reference's factorize -> inertia -> perturb
+contract; quasi-definiteness under the (delta_x, delta_c) regularization
+makes the pivot-free block elimination well defined (delta_c is floored —
+see CLAUDE.md / chained_kkt.py for why block eliminations need it).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .options import Options
+from .problem import NLP, CanonicalNLP, canonicalize
+
+
+# ---------------------------------------------------------------------------
+# Pattern detection (exact, dense-AD probing — for problems small enough;
+# large problems declare their pattern, exactly like TNLP does)
+# ---------------------------------------------------------------------------
+
+_AUTODETECT_MAX_DENSE = 8_000_000  # max n*m (or n*n) entries probed densely
+
+
+def detect_jacobian_sparsity(g_fn, x0: np.ndarray, n_probe: int = 2):
+    """Exact Jacobian pattern by dense jacfwd at randomized points.
+
+    An entry is structurally nonzero if it is nonzero (or NaN) at any probe
+    point; probing >1 random point avoids accidental zeros (e.g. x_i * x_j
+    at x_j = 0).  Counterpart of the user-declared eval_jac_g structure."""
+    n = x0.shape[0]
+    rng = np.random.RandomState(0)
+    pat = None
+    for _ in range(n_probe):
+        xp = jnp.asarray(x0 + 0.1 * rng.standard_normal(n)
+                         + 0.01 * rng.uniform(0.5, 1.5, n))
+        J = np.asarray(jax.jacfwd(g_fn)(xp))
+        nz = ~np.isclose(np.nan_to_num(J, nan=1.0), 0.0)
+        pat = nz if pat is None else (pat | nz)
+    rows, cols = np.nonzero(pat)
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def detect_hessian_sparsity(lag_fn, x0: np.ndarray, n_probe: int = 2):
+    """Exact Lagrangian-Hessian pattern (full symmetric) by dense jax.hessian
+    probing with randomized multipliers folded into ``lag_fn``."""
+    n = x0.shape[0]
+    rng = np.random.RandomState(1)
+    pat = None
+    for _ in range(n_probe):
+        xp = jnp.asarray(x0 + 0.1 * rng.standard_normal(n)
+                         + 0.01 * rng.uniform(0.5, 1.5, n))
+        H = np.asarray(jax.hessian(lag_fn)(xp))
+        nz = ~np.isclose(np.nan_to_num(H, nan=1.0), 0.0)
+        pat = nz if pat is None else (pat | nz)
+    pat = pat | pat.T
+    rows, cols = np.nonzero(pat)
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def greedy_coloring(rows: np.ndarray, cols: np.ndarray, n_cols: int,
+                    n_rows: int) -> np.ndarray:
+    """Greedy distance-2 column coloring: columns sharing a row get distinct
+    colors, so the compressed matrix (A @ seeds) recovers every entry
+    directly (Curtis–Powell–Reid).
+
+    Fast path for banded patterns: if every row's column span w is small,
+    ``col % w`` is a valid coloring (two columns in one row differ by < w),
+    avoiding the O(n_cols) python greedy loop at n = 1e6 scale."""
+    import scipy.sparse as sp
+    if len(rows) == 0 or n_cols == 0:
+        return np.zeros((n_cols,), np.int32)
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    # per-row column span (vectorized)
+    cmax = np.full(n_rows, -1, np.int64)
+    cmin = np.full(n_rows, np.iinfo(np.int64).max, np.int64)
+    np.maximum.at(cmax, rows, cols)
+    np.minimum.at(cmin, rows, cols)
+    nonempty = cmax >= 0
+    w = int(np.max(np.where(nonempty, cmax - cmin + 1, 0), initial=1))
+    if w <= 64:
+        return (np.arange(n_cols, dtype=np.int64) % w).astype(np.int32)
+    A = sp.coo_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                      shape=(max(n_rows, 1), n_cols)).tocsc()
+    B = (A.T @ A).tocsr()
+    colors = np.full((n_cols,), -1, np.int32)
+    for j in range(n_cols):
+        nbr = B.indices[B.indptr[j]:B.indptr[j + 1]]
+        used = set(int(c) for c in colors[nbr] if c >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[j] = c
+    return colors
+
+
+# ---------------------------------------------------------------------------
+# The static descriptor
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BandedInfo:
+    """Static symbolic-analysis result, attached to ``CanonicalNLP.chain``.
+
+    All arrays are numpy (trace-time constants).  Index spaces:
+      unknown u in [0, N):  x (0..n-1), s (n..n+mi-1), y_c, y_d
+      pos[u]:               position after the RCM permutation
+    """
+
+    n: int
+    mi: int
+    me: int
+    N: int              # n + mi + me + mi
+    b: int              # block size (>= half bandwidth)
+    nb: int             # number of blocks; nb*b >= N
+    perm: np.ndarray    # (N,) original unknown at permuted position k
+    pos: np.ndarray     # (N,) permuted position of unknown u (inverse perm)
+    # Jacobian: COO in (g-row, free-x-col) space + column colors
+    j_rows: np.ndarray
+    j_cols: np.ndarray
+    j_colors: np.ndarray   # (n,) color of each x column
+    n_colors_j: int
+    # Hessian: full-symmetric COO + column colors
+    h_rows: np.ndarray
+    h_cols: np.ndarray
+    h_colors: np.ndarray
+    n_colors_h: int
+    # g-row -> y-unknown index (n+mi+eqpos / n+mi+me+ineqpos)
+    row_unknown: np.ndarray  # (m,)
+    # scatter targets, concatenated value-vector order:
+    #   [h_vals | j_vals | j_vals(T) | sig_x | sig_s | (-1) couplings x2 |
+    #    y diag (-delta_c) | pad (+1)]
+    tgt_is_sub: np.ndarray
+    tgt_blk: np.ndarray
+    tgt_r: np.ndarray
+    tgt_c: np.ndarray
+    n_pad: int
+
+    def _key(self):
+        return (self.n, self.mi, self.me, self.N, self.b, self.nb,
+                self.perm.tobytes(), self.j_rows.tobytes(),
+                self.j_cols.tobytes(), self.h_rows.tobytes(),
+                self.h_cols.tobytes())
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, BandedInfo) and self._key() == other._key()
+
+
+def _targets_oriented(pos, b, ui, uj):
+    """Oriented scatter target for an entry K(ui, uj) that appears in a
+    *full-symmetric* COO list (both orientations present).  Same-block
+    entries fill their own (r, c) slot; the lower cross-block orientation
+    fills sub; the upper cross-block orientation is dropped (keep=False) —
+    its mirror fills sub instead."""
+    pi = pos[ui]
+    pj = pos[uj]
+    blki = pi // b
+    blkj = pj // b
+    same = blki == blkj
+    cross_lower = blki == blkj + 1
+    keep = same | cross_lower
+    is_sub = cross_lower
+    blk = np.where(same, blki, np.minimum(blki, blkj))
+    return is_sub, blk, pi % b, pj % b, keep
+
+
+def _targets_for_pairs(pos, b, ua, ub):
+    """Scatter target for symmetric entries connecting unknowns ua, ub
+    (vectorized numpy).  Returns (is_sub, blk, r, c) for the K(hi, lo)
+    orientation — callers emit both orientations for in-block off-diagonals.
+    """
+    pa = pos[ua]
+    pb = pos[ub]
+    hi = np.maximum(pa, pb)
+    lo = np.minimum(pa, pb)
+    blk_hi = hi // b
+    blk_lo = lo // b
+    if np.any(blk_hi - blk_lo > 1):
+        raise AssertionError("bandwidth exceeded block size — RCM/b bug")
+    is_sub = blk_hi != blk_lo
+    blk = np.where(is_sub, blk_lo, blk_hi)
+    return is_sub, blk, hi % b, lo % b
+
+
+def analyze_sparsity(n: int, mi: int, me: int,
+                     j_rows, j_cols, eq_mask,
+                     h_rows, h_cols,
+                     min_block: int = 8,
+                     block_align: int = 4) -> BandedInfo:
+    """The symbolic phase: pattern -> RCM -> block size -> scatter targets."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m = len(eq_mask)
+    N = n + mi + me + mi
+
+    # g-row -> y unknown
+    eq_mask = np.asarray(eq_mask, bool)
+    eq_pos = np.cumsum(eq_mask) - 1
+    ineq_pos = np.cumsum(~eq_mask) - 1
+    row_unknown = np.where(eq_mask, n + mi + eq_pos,
+                           n + mi + me + ineq_pos).astype(np.int64)
+
+    # --- aggregate the aug pattern (undirected edges between unknowns) -----
+    ea = [np.asarray(h_rows, np.int64)]
+    eb = [np.asarray(h_cols, np.int64)]
+    if len(j_rows):
+        ea.append(row_unknown[np.asarray(j_rows, np.int64)])
+        eb.append(np.asarray(j_cols, np.int64))
+    if mi:
+        sk = n + np.arange(mi, dtype=np.int64)
+        yk = n + mi + me + np.arange(mi, dtype=np.int64)
+        ea.append(sk)
+        eb.append(yk)
+    diag = np.arange(N, dtype=np.int64)
+    ea.append(diag)
+    eb.append(diag)
+    EA = np.concatenate(ea)
+    EB = np.concatenate(eb)
+
+    G = sp.coo_matrix((np.ones(len(EA), np.int8), (EA, EB)), shape=(N, N))
+    G = (G + G.T).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(G, symmetric_mode=True),
+                      np.int64)
+    pos = np.empty(N, np.int64)
+    pos[perm] = np.arange(N)
+
+    # half bandwidth
+    bw = int(np.max(np.abs(pos[EA] - pos[EB]))) if len(EA) else 1
+    b = max(min_block, -(-max(bw, 1) // block_align) * block_align)
+    nb = -(-N // b)
+    n_pad = nb * b - N
+
+    # --- colorings ---------------------------------------------------------
+    j_colors = greedy_coloring(np.asarray(j_rows), np.asarray(j_cols), n, m)
+    n_colors_j = int(j_colors.max()) + 1 if n and len(j_rows) else 0
+    h_colors = greedy_coloring(np.asarray(h_rows), np.asarray(h_cols), n, n)
+    n_colors_h = int(h_colors.max()) + 1 if n and len(h_rows) else 0
+
+    # --- scatter targets (value-vector order documented in BandedInfo) -----
+    segs = []
+
+    def emit(ua, ub, both: bool):
+        """Emit K(hi,lo); for in-block off-diagonal entries also K(lo,hi)
+        when ``both`` (the BTD diag blocks store the full symmetric block,
+        sub blocks store only the lower coupling)."""
+        is_sub, blk, r, c = _targets_for_pairs(pos, b, ua, ub)
+        segs.append((is_sub, blk, r, c))
+        if both:
+            in_blk_off = (~is_sub) & (r != c)
+            # mirrored entry for in-block off-diagonals; harmless zero-add
+            # rows for the rest (targets must stay static-shape): mirror of
+            # a diagonal entry adds 0 there instead.
+            r2 = np.where(in_blk_off, c, r)
+            c2 = np.where(in_blk_off, r, c)
+            segs.append((is_sub, blk, r2, c2))
+            return in_blk_off
+        return None
+
+    # 1. Hessian entries: the full-symmetric COO already contains both
+    #    orientations — oriented targeting (each orientation fills its own
+    #    slot; the upper cross-block orientation is dropped, its mirror
+    #    fills sub).
+    h_keep_mask = None
+    if len(h_rows):
+        is_sub, blk, r, c, h_keep_mask = _targets_oriented(
+            pos, b, np.asarray(h_rows, np.int64), np.asarray(h_cols, np.int64))
+        segs.append((is_sub, blk, r, c))
+    # 2+3. Jacobian entries: connect y-row unknown and x column — emit the
+    #      K(hi,lo) entry and the mirrored in-block entry.
+    j_mirror_mask = None
+    if len(j_rows):
+        j_mirror_mask = emit(row_unknown[np.asarray(j_rows, np.int64)],
+                             np.asarray(j_cols, np.int64), both=True)
+    # 4. sigma_x + delta_x on the x diagonal
+    ux = np.arange(n, dtype=np.int64)
+    emit(ux, ux, both=False)
+    # 5. sigma_s + delta_x on the s diagonal
+    if mi:
+        us = n + np.arange(mi, dtype=np.int64)
+        emit(us, us, both=False)
+    # 6. the -1 couplings s <-> y_d (emit both orientations)
+    s_mirror_mask = None
+    if mi:
+        s_mirror_mask = emit(n + np.arange(mi, dtype=np.int64),
+                             n + mi + me + np.arange(mi, dtype=np.int64),
+                             both=True)
+    # 7. -delta_c on the y diagonal
+    uy = n + mi + np.arange(me + mi, dtype=np.int64)
+    emit(uy, uy, both=False)
+    # 8. +1 dummy padding diagonal
+    if n_pad:
+        pp = N + np.arange(n_pad, dtype=np.int64)
+        blk = pp // b
+        segs.append((np.zeros(n_pad, bool), blk, pp % b, pp % b))
+
+    tgt_is_sub = np.concatenate([s[0] for s in segs])
+    tgt_blk = np.concatenate([s[1] for s in segs]).astype(np.int32)
+    tgt_r = np.concatenate([s[2] for s in segs]).astype(np.int32)
+    tgt_c = np.concatenate([s[3] for s in segs]).astype(np.int32)
+
+    info = BandedInfo(
+        n=n, mi=mi, me=me, N=N, b=b, nb=nb, perm=perm, pos=pos,
+        j_rows=np.asarray(j_rows, np.int32), j_cols=np.asarray(j_cols, np.int32),
+        j_colors=j_colors, n_colors_j=max(n_colors_j, 1),
+        h_rows=np.asarray(h_rows, np.int32), h_cols=np.asarray(h_cols, np.int32),
+        h_colors=h_colors, n_colors_h=max(n_colors_h, 1),
+        row_unknown=row_unknown,
+        tgt_is_sub=tgt_is_sub, tgt_blk=tgt_blk, tgt_r=tgt_r, tgt_c=tgt_c,
+        n_pad=n_pad)
+    # stash the mirror/keep masks (value duplication patterns) on the object
+    object.__setattr__(info, "_j_mirror_mask", j_mirror_mask)
+    object.__setattr__(info, "_s_mirror_mask", s_mirror_mask)
+    object.__setattr__(info, "_h_keep_mask", h_keep_mask)
+    return info
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization entry point
+# ---------------------------------------------------------------------------
+
+def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
+                        ) -> CanonicalNLP:
+    """Canonicalize a flat NLP for the banded-BCR backend.
+
+    Pattern source: ``nlp.jac_g_sparsity`` / ``nlp.lag_hess_sparsity`` (COO
+    (rows, cols) tuples, TNLP-style declaration) or exact auto-detection by
+    dense AD probing (gated by problem size)."""
+    opts = options or Options()
+    base = canonicalize(nlp, opts.replace(nlp_scaling_method="none"))
+    s = base.struct
+    if s.n != s.n_full:
+        raise ValueError(
+            "the banded backend does not support eliminated fixed variables;"
+            " use fixed_variable_treatment='relax_bounds' or 'make_constraint'")
+    n, mi, me, m = s.n, s.mi, s.me, s.m
+    x0 = np.asarray(base.x0, np.float64)
+
+    jac_pat = getattr(nlp, "jac_g_sparsity", None)
+    hess_pat = getattr(nlp, "lag_hess_sparsity", None)
+
+    if jac_pat is None and m:
+        if n * m > _AUTODETECT_MAX_DENSE:
+            raise ValueError(
+                f"problem too large for dense sparsity auto-detection "
+                f"(n*m = {n * m}); declare NLP.jac_g_sparsity")
+        g_raw = (lambda x: nlp.g(x)) if nlp.params is None else \
+            (lambda x: nlp.g(x, base.params))
+        j_rows, j_cols = detect_jacobian_sparsity(g_raw, x0)
+    elif jac_pat is not None:
+        j_rows = np.asarray(jac_pat[0], np.int32)
+        j_cols = np.asarray(jac_pat[1], np.int32)
+    else:
+        j_rows = np.zeros((0,), np.int32)
+        j_cols = np.zeros((0,), np.int32)
+
+    if hess_pat is None:
+        if n * n > _AUTODETECT_MAX_DENSE:
+            raise ValueError(
+                f"problem too large for dense Hessian auto-detection "
+                f"(n^2 = {n * n}); declare NLP.lag_hess_sparsity")
+        rng = np.random.RandomState(7)
+        y_rand = jnp.asarray(rng.standard_normal(m))
+
+        def lag(x):
+            val = nlp.f(x) if nlp.params is None else nlp.f(x, base.params)
+            if m:
+                gv = nlp.g(x) if nlp.params is None else nlp.g(x, base.params)
+                val = val + jnp.dot(y_rand, gv)
+            return val
+
+        h_rows, h_cols = detect_hessian_sparsity(lag, x0)
+    else:
+        hr = np.asarray(hess_pat[0], np.int64)
+        hc = np.asarray(hess_pat[1], np.int64)
+        # symmetrize a lower/upper-triangle declaration into the full pattern
+        import scipy.sparse as sp
+        Hp = sp.coo_matrix((np.ones(len(hr), np.int8), (hr, hc)),
+                           shape=(n, n))
+        Hp = ((Hp + Hp.T) != 0).tocoo()
+        h_rows = Hp.row.astype(np.int32)
+        h_cols = Hp.col.astype(np.int32)
+
+    # map eq/ineq: eq_mask over user g rows
+    eq_mask = np.zeros((m,), bool)
+    eq_mask[s.eq_idx] = True
+
+    info = analyze_sparsity(n, mi, me, j_rows, j_cols, eq_mask,
+                            h_rows, h_cols)
+    base = base._replace(chain=info)
+    if opts.nlp_scaling_method == "gradient-based":
+        base = _sparse_gradient_scaling(base, opts)
+    return base
+
+
+def _sparse_gradient_scaling(nlp: CanonicalNLP, opts: Options) -> CanonicalNLP:
+    """GradientScaling via the compressed Jacobian (no dense J)."""
+    s = nlp.struct
+    info: BandedInfo = nlp.chain
+    max_grad = opts.nlp_scaling_max_gradient
+    min_val = opts.nlp_scaling_min_value
+    x0 = nlp.x0
+    dtype = x0.dtype
+
+    gf = nlp.eval_grad_f(x0)
+    gnorm = jnp.max(jnp.abs(gf), initial=0.0)
+    from .scaling import grad_scale_factor
+    df = grad_scale_factor(gnorm, opts, opts.nlp_scaling_obj_target_gradient)
+    df = df * opts.obj_scaling_factor
+
+    if s.m:
+        Jcomp = compressed_jacobian_raw(nlp, x0)  # (m, ncJ), unscaled rows
+        row_norm = jnp.max(jnp.abs(Jcomp), axis=1, initial=0.0)
+        dg = grad_scale_factor(row_norm, opts, opts.nlp_scaling_constr_target_gradient)
+        c_scale = dg[jnp.asarray(s.eq_idx)] if s.me else nlp.c_scale
+        d_scale = dg[jnp.asarray(s.ineq_idx)] if s.mi else nlp.d_scale
+    else:
+        c_scale, d_scale = nlp.c_scale, nlp.d_scale
+    return nlp._replace(
+        obj_scale=jnp.asarray(df, dtype),
+        c_scale=c_scale.astype(dtype), d_scale=d_scale.astype(dtype),
+        d_L=nlp.d_L * d_scale, d_U=nlp.d_U * d_scale)
+
+
+# ---------------------------------------------------------------------------
+# Per-iteration numeric values (compressed AD)
+# ---------------------------------------------------------------------------
+
+def _g_raw(nlp: CanonicalNLP, x):
+    """User g (raw, unscaled, unsplit) as a function of the free variables."""
+    return nlp.g(nlp.x_full(x), nlp.params)
+
+
+def compressed_jacobian_raw(nlp: CanonicalNLP, x):
+    """(m, n_colors_j) compressed raw Jacobian: column j's entries land in
+    color column j_colors[j]; coloring guarantees no collisions."""
+    info: BandedInfo = nlp.chain
+    dtype = x.dtype
+    seeds = (jnp.asarray(info.j_colors)[None, :]
+             == jnp.arange(info.n_colors_j)[:, None]).astype(dtype)
+
+    def jvp_one(sv):
+        return jax.jvp(lambda xx: _g_raw(nlp, xx), (x,), (sv,))[1]
+
+    return jax.vmap(jvp_one)(seeds).T
+
+
+def _row_scale(nlp: CanonicalNLP):
+    """(m,) per-user-row scale factor (c_scale / d_scale scattered back)."""
+    s = nlp.struct
+    rs = jnp.ones((s.m,), nlp.x0.dtype)
+    if s.me:
+        rs = rs.at[jnp.asarray(s.eq_idx)].set(nlp.c_scale)
+    if s.mi:
+        rs = rs.at[jnp.asarray(s.ineq_idx)].set(nlp.d_scale)
+    return rs
+
+
+def jacobian_values(nlp: CanonicalNLP, x):
+    """Scaled J entry values aligned with (j_rows, j_cols)."""
+    info: BandedInfo = nlp.chain
+    Jcomp = compressed_jacobian_raw(nlp, x)
+    rs = _row_scale(nlp)
+    r = jnp.asarray(info.j_rows)
+    c = jnp.asarray(info.j_cols)
+    return Jcomp[r, jnp.asarray(info.j_colors)[c]] * rs[r]
+
+
+def sparse_hessian_values(nlp: CanonicalNLP, it):
+    """Scaled Lagrangian-Hessian entry values aligned with (h_rows, h_cols).
+
+    n_colors_h HVPs of the (already scaled) Lagrangian via the coloring
+    seeds — the backend-shaped 'W' of this backend."""
+    info: BandedInfo = nlp.chain
+    x, y_c, y_d = it.x, it.y_c, it.y_d
+    dtype = x.dtype
+    seeds = (jnp.asarray(info.h_colors)[None, :]
+             == jnp.arange(info.n_colors_h)[:, None]).astype(dtype)
+
+    def lag(xx):
+        val = nlp.eval_f(xx)
+        if nlp.struct.me:
+            val = val + jnp.dot(y_c, nlp.eval_c(xx))
+        if nlp.struct.mi:
+            val = val + jnp.dot(y_d, nlp.eval_d(xx))
+        return val
+
+    glag = jax.grad(lag)
+
+    def hvp_one(sv):
+        return jax.jvp(glag, (x,), (sv,))[1]
+
+    Hcomp = jax.vmap(hvp_one)(seeds).T  # (n, ncH)
+    r = jnp.asarray(info.h_rows)
+    c = jnp.asarray(info.h_cols)
+    return Hcomp[r, jnp.asarray(info.h_colors)[c]]
+
+
+# ---------------------------------------------------------------------------
+# Assembly / factorize / solve (the backend contract used by step.py)
+# ---------------------------------------------------------------------------
+
+def assemble_banded(nlp: CanonicalNLP, it, j_vals, h_vals, delta_x, delta_c):
+    """Scatter the value vector into BTDMatrix (diag, sub) arrays."""
+    from .kkt import sigmas
+    from .linalg.block_tridiag import BTDMatrix
+    info: BandedInfo = nlp.chain
+    dtype = it.x.dtype
+    sig = sigmas(nlp, it)
+
+    vals = []
+    if len(info.h_rows):
+        vals.append(jnp.where(jnp.asarray(info._h_keep_mask), h_vals, 0.0))
+    if len(info.j_rows):
+        vals.append(j_vals)
+        # mirrored in-block entries (zeroed where the entry was a coupling)
+        vals.append(jnp.where(jnp.asarray(info._j_mirror_mask), j_vals, 0.0))
+    vals.append(sig.sigma_x + delta_x)
+    if info.mi:
+        vals.append(sig.sigma_s + delta_x)
+        mones = -jnp.ones((info.mi,), dtype)
+        vals.append(mones)
+        vals.append(jnp.where(jnp.asarray(info._s_mirror_mask), mones, 0.0))
+    vals.append(jnp.broadcast_to(-delta_c, (info.me + info.mi,)))
+    if info.n_pad:
+        vals.append(jnp.ones((info.n_pad,), dtype))
+    v = jnp.concatenate([jnp.asarray(x, dtype).reshape(-1) for x in vals])
+
+    is_sub = jnp.asarray(info.tgt_is_sub)
+    blk = jnp.asarray(info.tgt_blk)
+    r = jnp.asarray(info.tgt_r)
+    c = jnp.asarray(info.tgt_c)
+    diag = jnp.zeros((info.nb, info.b, info.b), dtype)
+    sub = jnp.zeros((info.nb, info.b, info.b), dtype)
+    diag = diag.at[blk, r, c].add(jnp.where(is_sub, 0.0, v))
+    sub = sub.at[blk, r, c].add(jnp.where(is_sub, v, 0.0))
+    return BTDMatrix(diag=diag, sub=sub)
+
+
+def expected_inertia_banded(nlp: CanonicalNLP):
+    info: BandedInfo = nlp.chain
+    return info.n + info.mi + info.n_pad, info.me + info.mi
+
+
+class BandedFactorResult(NamedTuple):
+    fac: Any
+    K: Any
+    delta_x: jnp.ndarray
+    delta_c: jnp.ndarray
+    delta_w_last: jnp.ndarray
+    failed: jnp.ndarray
+    num_trials: jnp.ndarray
+
+
+def banded_factorize_kkt(nlp: CanonicalNLP, opts: Options, it, h_vals, mu,
+                         delta_w_last,
+                         delta_cd_override=None) -> BandedFactorResult:
+    """Inertia-corrected banded factorization — same perturbation schedule as
+    the dense/chained paths (PDPerturbationHandler +
+    block-elimination delta_c floor, see chained_kkt.py)."""
+    from jax import lax
+    from .linalg.block_tridiag import bcr_factorize
+    dtype = it.x.dtype
+    exp_pos, exp_neg = expected_inertia_banded(nlp)
+    j_vals = jacobian_values(nlp, it.x)
+    base_cd = (delta_cd_override if delta_cd_override is not None
+               else opts.jacobian_regularization_value
+               * mu ** opts.jacobian_regularization_exponent)
+    delta_cd = jnp.maximum(base_cd, opts.jacobian_regularization_value)
+
+    def factor(dxv, dcv):
+        Kb = assemble_banded(nlp, it, j_vals, h_vals, dxv, dcv)
+        fac = bcr_factorize(Kb, pivot_tol=opts.ldlt_pivot_tol,
+                            use_pallas=opts.use_pallas)
+        ok = jnp.logical_and(
+            jnp.logical_and(fac.num_pos == exp_pos, fac.num_neg == exp_neg),
+            jnp.logical_not(fac.singular))
+        return Kb, fac, ok
+
+    zero = jnp.zeros((), dtype)
+    dc0 = delta_cd * jnp.ones((), dtype)
+    K0, fac0, ok0 = factor(zero, dc0)
+
+    def cond(carry):
+        trial, dxv, dcv, Kb, fac, ok, gave_up = carry
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(ok, gave_up)),
+            trial < opts.max_inertia_correction_rounds)
+
+    def body(carry):
+        trial, dxv, dcv, Kb, fac, ok, gave_up = carry
+        was_singular = fac.singular
+        only_dc = jnp.logical_and(was_singular, dcv <= delta_cd)
+        new_dc = jnp.where(was_singular,
+                           jnp.minimum(jnp.maximum(dcv * 100.0, delta_cd),
+                                       1e-4),
+                           dcv)
+        first_try = (dxv == 0)
+        start_val = jnp.where(delta_w_last == 0,
+                              opts.first_hessian_perturbation,
+                              jnp.maximum(opts.min_hessian_perturbation,
+                                          delta_w_last * opts.perturb_dec_fact))
+        inc_fact = jnp.where(delta_w_last == 0,
+                             opts.perturb_inc_fact_first, opts.perturb_inc_fact)
+        bumped = jnp.where(first_try, start_val, dxv * inc_fact)
+        new_dx = jnp.where(only_dc, dxv, bumped)
+        gave_up = new_dx > opts.max_hessian_perturbation
+        Kb, fac, ok = factor(new_dx, new_dc)
+        return trial + 1, new_dx, new_dc, Kb, fac, ok, gave_up
+
+    trials, dxv, dcv, Kb, fac, ok, gave_up = lax.while_loop(
+        cond, body,
+        (jnp.ones((), jnp.int32), zero, dc0, K0, fac0, ok0,
+         jnp.zeros((), bool)))
+
+    failed = jnp.logical_not(ok)
+    new_last = jnp.where(dxv > 0, dxv, delta_w_last)
+    return BandedFactorResult(fac=fac, K=Kb, delta_x=dxv, delta_c=dcv,
+                              delta_w_last=new_last, failed=failed,
+                              num_trials=trials)
+
+
+def pack_rhs_banded(nlp: CanonicalNLP, r_x, r_s, r_c, r_d):
+    """[x|s|y_c|y_d] RHS -> permuted, padded flat vector (nb*b,)."""
+    info: BandedInfo = nlp.chain
+    dtype = r_x.dtype
+    rhs = jnp.concatenate([r_x, r_s, r_c, r_d])
+    rhs_p = rhs[jnp.asarray(info.perm)]
+    if info.n_pad:
+        rhs_p = jnp.concatenate([rhs_p, jnp.zeros((info.n_pad,), dtype)])
+    return rhs_p
+
+
+def unpack_sol_banded(nlp: CanonicalNLP, sol):
+    info: BandedInfo = nlp.chain
+    n, mi, me = info.n, info.mi, info.me
+    sol_orig = jnp.zeros((info.N,), sol.dtype).at[
+        jnp.asarray(info.perm)].set(sol[:info.N])
+    dx = sol_orig[:n]
+    ds = sol_orig[n:n + mi]
+    dy_c = sol_orig[n + mi:n + mi + me]
+    dy_d = sol_orig[n + mi + me:]
+    return dx, ds, dy_c, dy_d
