@@ -147,9 +147,11 @@ class ChainFactorResult(NamedTuple):
 
 
 def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
-                          AB, Wblocks, mu, delta_w_last) -> ChainFactorResult:
+                          AB, Wblocks, mu, delta_w_last,
+                          delta_cd_override=None) -> ChainFactorResult:
     """Inertia-corrected BTD factorization (same perturbation schedule as the
-    dense path, PDPerturbationHandler)."""
+    dense path, PDPerturbationHandler).  ``delta_cd_override`` replaces the
+    mu-based regularization value (CGPerturbationHandler)."""
     from jax import lax
     dtype = it.x.dtype
     exp_pos, exp_neg = expected_inertia(nlp)
@@ -160,10 +162,10 @@ def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
     # structured backends therefore always run dual-regularized: delta_c is
     # floored at jacobian_regularization_value (the "perturb_always_cd"
     # regime), which keeps each block quasi-definite.
-    delta_cd = jnp.maximum(
-        opts.jacobian_regularization_value
-        * mu ** opts.jacobian_regularization_exponent,
-        opts.jacobian_regularization_value)
+    base_cd = (delta_cd_override if delta_cd_override is not None
+               else opts.jacobian_regularization_value
+               * mu ** opts.jacobian_regularization_exponent)
+    delta_cd = jnp.maximum(base_cd, opts.jacobian_regularization_value)
 
     def factor(delta_x, delta_c):
         Kbtd = assemble_btd(nlp, it, AB, Wblocks, delta_x, delta_c)
