@@ -170,14 +170,14 @@ def _chained_gradient_scaling(nlp: CanonicalNLP, opts: Options) -> CanonicalNLP:
 
     gf = nlp.eval_grad_f(x0)
     gnorm = jnp.max(jnp.abs(gf), initial=0.0)
-    df = jnp.where(gnorm > max_grad, max_grad / gnorm, 1.0)
-    df = jnp.maximum(df, min_val) * opts.obj_scaling_factor
+    from .scaling import grad_scale_factor
+    df = grad_scale_factor(gnorm, opts, opts.nlp_scaling_obj_target_gradient)
+    df = df * opts.obj_scaling_factor
 
     A, B = stage_jacobians(nlp, x0)  # row_scale is all-ones at this point
     row_norm = jnp.maximum(jnp.max(jnp.abs(A), axis=2, initial=0.0),
                            jnp.max(jnp.abs(B), axis=2, initial=0.0)).reshape(-1)
-    dg = jnp.where(row_norm > max_grad, max_grad / row_norm, 1.0)
-    dg = jnp.maximum(dg, min_val)
+    dg = grad_scale_factor(row_norm, opts, opts.nlp_scaling_constr_target_gradient)
     c_scale = dg[jnp.asarray(s.eq_idx)] if s.me else nlp.c_scale
     d_scale = dg[jnp.asarray(s.ineq_idx)] if s.mi else nlp.d_scale
     return nlp._replace(

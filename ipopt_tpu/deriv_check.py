@@ -33,10 +33,26 @@ class DerivCheckResult(NamedTuple):
 
 def check_derivatives(nlp: CanonicalNLP, opts: Options, x=None) -> DerivCheckResult:
     x = nlp.x0 if x is None else jnp.asarray(x, nlp.x0.dtype)
+    # point_perturbation_radius (IpTNLPAdapter.cpp:179-211): perturb the test
+    # point randomly within the given radius (0 = test exactly at x0).
+    if x is None or opts.point_perturbation_radius > 0:
+        rng = np.random.RandomState(42)
+        pert = rng.uniform(-1.0, 1.0, nlp.n) * opts.point_perturbation_radius
+        if opts.point_perturbation_radius > 0:
+            xp_ = np.asarray(x) + pert
+            # stay inside the (relaxed) bounds
+            xp_ = np.where(np.asarray(nlp.has_xL),
+                           np.maximum(xp_, np.asarray(nlp.x_L)), xp_)
+            xp_ = np.where(np.asarray(nlp.has_xU),
+                           np.minimum(xp_, np.asarray(nlp.x_U)), xp_)
+            x = jnp.asarray(xp_, nlp.x0.dtype)
     h = opts.derivative_test_perturbation
     tol = opts.derivative_test_tol
     n = nlp.n
     failures: List[str] = []
+    # derivative_test_first_index: -2 = all variables; otherwise only check
+    # derivative entries with variable index >= the given value.
+    first_idx = max(opts.derivative_test_first_index, 0)
 
     do_first = opts.derivative_test in ("first-order", "second-order")
     do_second = opts.derivative_test in ("second-order", "only-second-order")
@@ -55,6 +71,7 @@ def check_derivatives(nlp: CanonicalNLP, opts: Options, x=None) -> DerivCheckRes
         g_ad = np.asarray(nlp.eval_grad_f(x))
         g_fd = fd_grad(nlp.eval_f, x)
         rel = np.abs(g_ad - g_fd) / np.maximum(1.0, np.abs(g_fd))
+        rel[:first_idx] = 0.0
         max_g = float(rel.max()) if n else 0.0
         for i in np.nonzero(rel > tol)[0]:
             failures.append(
@@ -70,8 +87,10 @@ def check_derivatives(nlp: CanonicalNLP, opts: Options, x=None) -> DerivCheckRes
                 xp = x.at[i].add(h)
                 J_fd[:, i] = (np.asarray(gall(xp)) - g0) / h
             relJ = np.abs(J_ad - J_fd) / np.maximum(1.0, np.abs(J_fd))
+            relJ[:, :first_idx] = 0.0
             max_j = float(relJ.max()) if relJ.size else 0.0
-            for r, c in zip(*np.nonzero(relJ > tol)):
+            thresh = -1.0 if opts.derivative_test_print_all else tol
+            for r, c in zip(*np.nonzero(relJ > thresh)):
                 failures.append(
                     f"jac_g[{r},{c}]: ad={J_ad[r, c]:.8e} fd={J_fd[r, c]:.8e} "
                     f"rel={relJ[r, c]:.2e}")
@@ -96,12 +115,15 @@ def check_derivatives(nlp: CanonicalNLP, opts: Options, x=None) -> DerivCheckRes
             xp = x.at[i].add(h)
             H_fd[:, i] = (np.asarray(grad_lag(xp)) - gl0) / h
         relH = np.abs(H_ad - H_fd) / np.maximum(1.0, np.abs(H_fd))
+        relH[:first_idx, :] = 0.0
+        relH[:, :first_idx] = 0.0
         max_h = float(relH.max()) if relH.size else 0.0
         for r, c in zip(*np.nonzero(relH > tol)):
             failures.append(
                 f"hess_lag[{r},{c}]: ad={H_ad[r, c]:.8e} fd={H_fd[r, c]:.8e} "
                 f"rel={relH[r, c]:.2e}")
 
-    return DerivCheckResult(ok=not failures, max_rel_err_grad=max_g,
+    ok = max(max_g, max_j, max_h) <= tol
+    return DerivCheckResult(ok=ok, max_rel_err_grad=max_g,
                             max_rel_err_jac=max_j, max_rel_err_hess=max_h,
                             failures=failures)

@@ -64,12 +64,13 @@ class Journal:
 
     def __init__(self, name: str, default_level: int,
                  stream: Optional[TextIO] = None,
-                 filename: Optional[str] = None):
+                 filename: Optional[str] = None, append: bool = True):
         self.name = name
         self._levels: Dict[EJournalCategory, int] = {
             c: int(default_level) for c in EJournalCategory}
         self._stream = stream
         self._filename = filename
+        self._append = append
         self._fh: Optional[TextIO] = None
 
     # SetPrintLevel / SetAllPrintLevels
@@ -89,7 +90,8 @@ class Journal:
         if self._stream is not None:
             return self._stream
         if self._filename and self._fh is None:
-            self._fh = open(self._filename, "a")
+            # file_append (IpoptApplication: FileJournal open mode)
+            self._fh = open(self._filename, "a" if self._append else "w")
         return self._fh
 
     def write(self, text: str):
@@ -116,10 +118,10 @@ class Journalist:
         return journal
 
     def add_file_journal(self, name: str, filename: str,
-                         default_level: int = EJournalLevel.J_ITERSUMMARY
-                         ) -> Journal:
+                         default_level: int = EJournalLevel.J_ITERSUMMARY,
+                         append: bool = True) -> Journal:
         return self.add_journal(Journal(name, default_level,
-                                        filename=filename))
+                                        filename=filename, append=append))
 
     def get_journal(self, name: str) -> Optional[Journal]:
         for j in self._journals:
@@ -165,7 +167,8 @@ def configure_from_options(opts) -> Journalist:
     if getattr(opts, "output_file", ""):
         j = _default.add_file_journal(
             "output_file", opts.output_file,
-            getattr(opts, "file_print_level", opts.print_level))
+            getattr(opts, "file_print_level", opts.print_level),
+            append=getattr(opts, "file_append", True))
         j.set_all_print_levels(
             getattr(opts, "file_print_level", opts.print_level))
     return _default

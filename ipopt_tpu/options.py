@@ -275,8 +275,6 @@ class Options:
     piecewisepenalty_gamma_obj: float = _opt(1e-13, "CG Penalty", "PLPF objective margin.", 0.0, lower_strict=True)
     piecewisepenalty_gamma_infeasi: float = _opt(1e-13, "CG Penalty", "PLPF infeasibility margin.", 0.0, lower_strict=True)
     min_alpha_primal: float = _opt(1e-13, "CG Penalty", "Force-accept below this step size.", 0.0, lower_strict=True)
-    cg_theta_min: float = _opt(1e-6, "CG Penalty", "Infeasibility below which PLPF requires barrier decrease "
-                               "(reference option name: theta_min).", 0.0, lower_strict=True)
     max_piece_number: int = _opt(16, "CG Penalty", "PLPF list capacity (static; reference hardcodes 100).", 1)
     accept_after_max_steps: int = _opt(-1, "Line Search", "Accept after N backtracks regardless.", -1)
     watchdog_shortened_iter_trigger: int = _opt(10, "Line Search", "Shortened iters before watchdog.", 0)
@@ -321,7 +319,8 @@ class Options:
     linear_solver: str = _opt("dense-ldlt", "Linear Solver",
                               "KKT factorization backend (TPU-native).",
                               choices=("dense-ldlt", "dense-ldlt-blocked",
-                                       "condensed-cholesky", "minres"))
+                                       "condensed-cholesky", "minres",
+                                       "banded-bcr"))
     min_refinement_steps: int = _opt(1, "Linear Solver", "Min iterative refinement steps.", 0)
     max_refinement_steps: int = _opt(10, "Linear Solver", "Max iterative refinement steps.", 0)
     residual_ratio_max: float = _opt(1e-10, "Linear Solver", "Acceptable residual ratio.", 0.0, lower_strict=True)
@@ -382,6 +381,121 @@ class Options:
         "Pass curr_iterate / curr_violations dicts to intermediate_callback "
         "(get_curr_iterate/get_curr_violations parity, IpTNLP.hpp:665-793; "
         "adds a per-iteration device->host copy).")
+
+    # ---- Option-parity additions (OPTIONS_PARITY.md; reference defaults) --
+    # Output / application (IpIpoptApplication.cpp, IpJournalist)
+    print_user_options: bool = _opt(False, "Output", "Print non-default options before solving.")
+    print_options_documentation: bool = _opt(False, "Output", "Dump the full options documentation before solving.")
+    print_options_mode: str = _opt("text", "Output", "Format of the options documentation dump.",
+                                   choices=("text", "latex", "doxygen"))
+    print_advanced_options: bool = _opt(False, "Output", "Include advanced options in the documentation dump.")
+    print_info_string: bool = _opt(False, "Output", "Append diagnostic info tags to the iteration line.")
+    print_frequency_time: float = _opt(0.0, "Output", "Minimum seconds between iteration lines "
+                                       "(0 = every print_frequency_iter'th; host-side clocks are "
+                                       "unavailable inside jit, so enforced only in chunked mode).", 0.0)
+    inf_pr_output: str = _opt("original", "Output", "Which primal infeasibility to show in the iteration line "
+                              "(IpOrigIterationOutput.cpp).", choices=("internal", "original"))
+    file_append: bool = _opt(False, "Output", "Append to output_file instead of truncating.")
+    suppress_all_output: bool = _opt(False, "Output", "Suppress every journal (sb yes analog).")
+    debug_print_level: int = _opt(0, "Output", "Verbosity of the debug journal (IPOPT_CHECKLEVEL analog; "
+                                  "jax_debug_nans / jax.debug tooling replaces most of it).", 0, 12)
+    option_file_name: str = _opt("ipopt.opt", "Output", "Options file read by solve() at startup "
+                                 "('' disables; OptionsList::ReadFromStream).")
+    skip_finalize_solution_call: bool = _opt(False, "Output", "C API: skip the finalize_solution callback.")
+    replace_bounds: bool = _opt(False, "NLP", "Convert variable bounds into inequality constraints "
+                                "(NLPBoundsRemover, IpNLPBoundsRemover.hpp:23).")
+    # NLP evaluation hints (IpOrigIpoptNLP.hpp:570-578).  Under XLA the whole
+    # iteration is one fused program and re-evaluation of affine callables
+    # costs nothing extra after CSE, so these are accepted for compatibility.
+    grad_f_constant: bool = _opt(False, "NLP", "Hint: objective gradient is constant (accepted; XLA CSE).")
+    jac_c_constant: bool = _opt(False, "NLP", "Hint: equality Jacobian is constant (accepted; XLA CSE).")
+    jac_d_constant: bool = _opt(False, "NLP", "Hint: inequality Jacobian is constant (accepted; XLA CSE).")
+    hessian_constant: bool = _opt(False, "NLP", "Hint: Lagrangian Hessian is constant (accepted; XLA CSE).")
+    # Derivative approximation (IpTNLPAdapter.hpp:258-266).  Derivatives come
+    # from JAX autodiff (exact by construction); the FD fallbacks exist in
+    # the reference for users without coded derivatives, which cannot occur
+    # here — registered for option-file compatibility, 'exact' enforced.
+    gradient_approximation: str = _opt("exact", "NLP", "Objective gradient source.",
+                                       choices=("exact", "finite-difference-values"))
+    jacobian_approximation: str = _opt("exact", "NLP", "Constraint Jacobian source.",
+                                       choices=("exact", "finite-difference-values"))
+    findiff_perturbation: float = _opt(1e-7, "NLP", "FD perturbation for the approximation options.",
+                                       0.0, lower_strict=True)
+    num_linear_variables: int = _opt(0, "NLP", "Number of leading linear variables (L-BFGS hint).", 0)
+    # NLP scaling targets (IpGradientScaling.cpp)
+    nlp_scaling_obj_target_gradient: float = _opt(0.0, "NLP Scaling",
+                                                  "Target max-norm of the scaled objective gradient (0 = cap mode).", 0.0)
+    nlp_scaling_constr_target_gradient: float = _opt(0.0, "NLP Scaling",
+                                                     "Target max-norm of the scaled constraint gradients (0 = cap mode).", 0.0)
+    # Warm start (IpWarmStartIterateInitializer.cpp)
+    warm_start_same_structure: bool = _opt(False, "Warm Start", "Reuse the problem structure from the previous solve "
+                                           "(the jit compilation cache provides this automatically).")
+    warm_start_target_mu: float = _opt(0.0, "Warm Start", "Barrier parameter to re-target on warm start (<=0: off).")
+    # Adaptive-mu extras (IpAdaptiveMuUpdate.cpp, IpQualityFunctionMuOracle.cpp)
+    adaptive_mu_kkt_norm_type: str = _opt("2-norm-squared", "Barrier", "Norm for the adaptive-mu KKT error.",
+                                          choices=("1-norm", "2-norm-squared", "max-norm", "2-norm"))
+    adaptive_mu_restore_previous_iterate: bool = _opt(False, "Barrier",
+                                                      "Restore the last accepted iterate when entering monotone mode.")
+    adaptive_mu_safeguard_factor: float = _opt(0.0, "Barrier", "Safeguard factor for the adaptive-mu globalization.", 0.0)
+    filter_margin_fact: float = _opt(1e-5, "Barrier", "Margin width factor for the obj-constr-filter globalization.",
+                                     0.0, 1.0, True, True)
+    filter_max_margin: float = _opt(1.0, "Barrier", "Maximum margin width for the obj-constr-filter globalization.",
+                                    0.0, lower_strict=True)
+    quality_function_norm_type: str = _opt("2-norm-squared", "Barrier", "Norm in the quality function.",
+                                           choices=("1-norm", "2-norm-squared", "max-norm", "2-norm"))
+    quality_function_centrality: str = _opt("none", "Barrier", "Centrality penalty in the quality function.",
+                                            choices=("none", "log", "reciprocal", "cubed-reciprocal"))
+    quality_function_balancing_term: str = _opt("none", "Barrier", "Balancing term in the quality function.",
+                                                choices=("none", "cubic"))
+    # Higher-order correctors (IpFilterLSAcceptor.cpp corrector_* options)
+    corrector_type: str = _opt("none", "Line Search", "Corrector step type in adaptive-mu mode.",
+                               choices=("none", "affine", "primal-dual"))
+    corrector_compl_avrg_red_fact: float = _opt(1.0, "Line Search",
+                                                "Allowed complementarity increase for accepting a corrector step.",
+                                                0.0, lower_strict=True)
+    skip_corr_if_neg_curv: bool = _opt(True, "Line Search", "Skip the corrector on negative-curvature iterations.")
+    skip_corr_in_monotone_mode: bool = _opt(True, "Line Search", "Skip the corrector in monotone mode.")
+    soc_method: int = _opt(0, "Line Search", "SOC variant: 0 = implementation paper, 1 = alpha-scaled x/s rhs.", 0, 1)
+    # Restoration extras
+    evaluate_orig_obj_at_resto_trial: bool = _opt(True, "Restoration",
+                                                  "Evaluate the original objective at restoration trial points.")
+    limited_memory_special_for_resto: bool = _opt(False, "Restoration",
+                                                  "Dedicated L-BFGS handling inside the restoration phase.")
+    # Linear system extras
+    linear_scaling_on_demand: bool = _opt(True, "Linear Solver", "Only equilibrate when the solve struggles "
+                                          "(the Ruiz pass is cheap under XLA, so scaling follows "
+                                          "linear_system_scaling unconditionally).")
+    # Inexact algorithm extras (src/Algorithm/Inexact/)
+    inexact_step_decomposition: str = _opt("adaptive", "Inexact", "Normal/tangential step decomposition policy.",
+                                           choices=("always", "adaptive", "switch-once"))
+    inexact_decomposition_activate_tol: float = _opt(1e-3, "Inexact", "Stepsize threshold activating decomposition.",
+                                                     0.0, 1.0, True, False)
+    inexact_decomposition_inactivate_tol: float = _opt(1e-3, "Inexact", "Stepsize threshold deactivating decomposition.",
+                                                       0.0, 1.0, True, False)
+    inexact_normal_tol: float = _opt(1e-3, "Inexact", "Relative residual tol of the normal-step Krylov solve.",
+                                     0.0, lower_strict=True)
+    inexact_normal_max_iter: int = _opt(200, "Inexact", "Max Krylov iterations for the normal step.", 0)
+    inexact_regularization_ls_count_trigger: int = _opt(1, "Inexact",
+                                                        "Previous-iteration LS count triggering Hessian regularization.", 1)
+    inexact_linear_system_scaling: str = _opt("slack-based", "Inexact", "Scaling of the inexact KKT system.",
+                                              choices=("none", "slack-based"))
+    modify_hessian_with_slacks: bool = _opt(False, "Inexact", "Regularize with slacks^-2 instead of identity.")
+    slack_scale_max: float = _opt(1.0, "Inexact", "Upper bound on slack-based scaling parameters.",
+                                  0.0, lower_strict=True)
+    # CG-penalty extras (src/contrib/CGPenalty/)
+    theta_min: float = _opt(1e-6, "CG Penalty", "Piecewise-penalty theta threshold.", 0.0, lower_strict=True)
+    mult_diverg_feasibility_tol: float = _opt(1e-7, "CG Penalty", "Feasibility tol for multiplier-divergence test.",
+                                              0.0, lower_strict=True)
+    mult_diverg_y_tol: float = _opt(1e8, "CG Penalty", "Multiplier-divergence threshold.", 0.0, lower_strict=True)
+    pen_init_fac: float = _opt(50.0, "CG Penalty", "Initial penalty factor for the regularized Newton method.",
+                               0.0, lower_strict=True)
+    # Derivative checker extras (IpTNLPAdapter.cpp:179-211)
+    derivative_test_first_index: int = _opt(-2, "Derivative Checker", "First variable index to check (-2 = all).", -2)
+    derivative_test_print_all: bool = _opt(False, "Derivative Checker", "Print all comparisons, not just failures.")
+    point_perturbation_radius: float = _opt(10.0, "Derivative Checker", "Random perturbation radius for the test point.", 0.0)
+    hessian_approximation_space: str = _opt("nonlinear-variables", "Hessian Approximation",
+                                            "Variables the L-BFGS approximation acts on.",
+                                            choices=("nonlinear-variables", "all-variables"))
 
     # ---- TPU-specific ----
     dtype: str = _opt("float64", "TPU", "Compute dtype for the IPM core.",

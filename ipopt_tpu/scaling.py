@@ -19,6 +19,17 @@ import jax.numpy as jnp
 from .options import Options
 
 
+def grad_scale_factor(norm, opts: Options, target: float):
+    """Gradient-based scale factor (IpGradientScaling.cpp:104-125): cap mode
+    (factor <= 1 bringing the max gradient to nlp_scaling_max_gradient) or,
+    when a positive target is set, exact targeting target/norm."""
+    cap = jnp.where(norm > opts.nlp_scaling_max_gradient,
+                    opts.nlp_scaling_max_gradient / norm, 1.0)
+    tgt = jnp.where(norm > 0, target / jnp.where(norm > 0, norm, 1.0), 1.0)
+    d = tgt if target > 0 else cap
+    return jnp.maximum(d, opts.nlp_scaling_min_value)
+
+
 def compute_scaling(cnlp, opts: Options):
     """Fill the obj_scale/c_scale/d_scale fields of a CanonicalNLP."""
     if opts.nlp_scaling_method == "none":
@@ -39,8 +50,9 @@ def compute_scaling(cnlp, opts: Options):
 
     gf = jax.grad(lambda x: cnlp.f(cnlp.x_full(x), cnlp.params))(x0)
     gnorm = jnp.max(jnp.abs(gf), initial=0.0)
-    df = jnp.where(gnorm > max_grad, max_grad / gnorm, 1.0)
-    df = jnp.maximum(df, min_val) * opts.obj_scaling_factor
+    df = grad_scale_factor(gnorm, opts,
+                           opts.nlp_scaling_obj_target_gradient)
+    df = df * opts.obj_scaling_factor
 
     me, mi = cnlp.struct.me, cnlp.struct.mi
     c_scale = jnp.ones((me,), dtype)
@@ -50,8 +62,8 @@ def compute_scaling(cnlp, opts: Options):
             return cnlp.g(cnlp.x_full(x), cnlp.params)
         J = jax.jacfwd(graw)(x0)          # (m, n_full-free? no: n) rows in g order
         row_norm = jnp.max(jnp.abs(J), axis=1, initial=0.0)
-        dg = jnp.where(row_norm > max_grad, max_grad / row_norm, 1.0)
-        dg = jnp.maximum(dg, min_val)
+        dg = grad_scale_factor(row_norm, opts,
+                               opts.nlp_scaling_constr_target_gradient)
         if me:
             c_scale = dg[jnp.asarray(cnlp.struct.eq_idx)]
         if mi:
