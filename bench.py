@@ -1,12 +1,19 @@
-"""Benchmark: batched HS071-family NLP throughput on the attached device.
+"""Benchmark suite (BASELINE.md protocol, run on the attached device).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Metric: NLPs solved per second for a batch of HS071-family instances (vmapped
-lockstep IPM, float32 + tol 1e-6 on TPU).  vs_baseline is the speedup against
-solving instances one-at-a-time on the same device (the "many sequential Ipopt
-processes" pattern the batch mode replaces; reference CPU Ipopt+MA57 numbers
-land in a later round once the reference is built locally).
+Headline metric: batched HS071-family NLPs/second (vmapped lockstep IPM)
+vs scipy SLSQP on CPU (reference Ipopt+MA57 cannot be built in this image —
+no HSL/MUMPS, no egress).
+
+Scale metrics (VERDICT r1 items 1-2, BASELINE.md items 3-4):
+- lv1_chained_4096: LuksanVlcek1 via the chained BTD/BCR backend
+  (re-measured with the explicit-inverse BCR), with the kernel-level
+  factorize time and an HBM-roofline fraction.
+- lv1_banded_1e5 / 1e6: LuksanVlcek1 as a flat NLP through the
+  general-sparsity banded-BCR backend (declared pattern -> RCM -> BCR).
+- mittelmann_N100: 2-D PDE boundary control (MittelmannBndryCntrlDiri ex1)
+  at N=100 (10404 grid vars) via the chained backend.
 """
 import json
 import os
@@ -25,21 +32,40 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 
-def main():
-    global T_START
-    T_START = time.perf_counter()
-    from ipopt_tpu.options import Options
+
+def _left():
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def _hbm_bw_bytes_per_s():
+    """Peak HBM bandwidth of the attached chip (for roofline fractions)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    if "v5 lite" in kind or "v5e" in kind:
+        return 820e9
+    if "v6" in kind:
+        return 1640e9
+    if "v4" in kind:
+        return 1230e9
+    return 820e9
+
+
+def _bcr_traffic_bytes(nb, b, dtype_bytes=4):
+    """Estimated HBM traffic of one BCR factorization: per level the kernel
+    reads the (compacted) diag+sub arrays and writes Ainv/Gl/Gr plus the
+    updated kept arrays; summed over the geometrically-shrinking levels this
+    is ~ (2 reads + 5 writes) * 2nb * b^2 words."""
+    return 9.0 * 2.0 * nb * b * b * dtype_bytes
+
+
+def _phase_hs071(opts, B=512):
     from ipopt_tpu.batch import stack_problems, _solve_batched_jit
     from ipopt_tpu.problem import NLP
-
-    on_tpu = jax.default_backend() != "cpu"
-    dtype_str = "float32" if on_tpu else "float64"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
-    # Single-precision tolerances mirror the reference's IPOPT_SINGLE build
-    # defaults (tol 1e-5, IpIpoptData.cpp:27-38).
-    tol = 1e-5 if dtype_str == "float32" else 1e-8
 
     def family(delta):
         return NLP(
@@ -52,13 +78,7 @@ def main():
             g_U=jnp.array([2e19, 40.0 + delta]),
             x0=jnp.array([1.0, 5.0, 5.0, 1.0]))
 
-    opts = Options(dtype=dtype_str, tol=tol, print_level=0,
-                   acceptable_tol=1e-4 if dtype_str == "float32" else 1e-6,
-                   acceptable_iter=10)
-    B = 512
     nlp_b = stack_problems([family(0.005 * i) for i in range(B)], opts)
-
-    # --- batched throughput ---
     res = _solve_batched_jit(nlp_b, opts)  # compile + run
     jax.block_until_ready(res.x)
     t0 = time.perf_counter()
@@ -66,23 +86,19 @@ def main():
     jax.block_until_ready(res.x)
     dt_batched = time.perf_counter() - t0
     n_ok = int(np.sum(np.asarray(res.status) == 0))
-    nlps_per_sec = B / dt_batched
 
-    # --- sequential baseline (same device, one at a time) ---
+    # sequential on the same device
     nlp_1 = jax.tree.map(lambda x: x[:1], nlp_b)
     r1 = _solve_batched_jit(nlp_1, opts)
     jax.block_until_ready(r1.x)
     reps = 8
     t0 = time.perf_counter()
-    for i in range(reps):
+    for _ in range(reps):
         r1 = _solve_batched_jit(nlp_1, opts)
         jax.block_until_ready(r1.x)
     dt_seq = (time.perf_counter() - t0) / reps
-    seq_per_sec = 1.0 / dt_seq
 
-    # --- external CPU baseline: scipy SLSQP on the same family ------------
-    # (reference Ipopt+MA57 cannot be built here: no sparse-solver libraries
-    # in the image; SLSQP is the stand-in established CPU solver)
+    # external CPU baseline: scipy SLSQP
     slsqp_per_sec = None
     try:
         from scipy.optimize import minimize, NonlinearConstraint
@@ -105,62 +121,186 @@ def main():
     except Exception:
         pass
 
-    # --- structured (block-tridiagonal) KKT: LuksanVlcek1 -----------------
-    # The remote TPU compile of the chained solver is expensive and is NOT
-    # captured by the persistent cache; keep the size moderate and make the
-    # phase skippable so the headline metric always lands.
-    lv = {}
-    t_budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
-    if os.environ.get("BENCH_SKIP_LV1") or time.perf_counter() - T_START > t_budget:
-        lv = {"lv1_skipped": True}
-        print(json.dumps(_result(nlps_per_sec, seq_per_sec, slsqp_per_sec,
-                                 B, n_ok, dtype_str, dt_batched, res, lv)))
-        return
-    try:
-        from ipopt_tpu.modellib import luksan_vlcek1
-        from ipopt_tpu.chained import canonicalize_chained
-        from ipopt_tpu.algorithm.solver import solve as _solve
-        n_lv, v_lv = 4096, 32
-        lv_nlp = canonicalize_chained(luksan_vlcek1(n_lv, v_lv), opts)
-        r = _solve(lv_nlp, opts)
-        jax.block_until_ready(r.x)
-        t0 = time.perf_counter()
-        r = _solve(lv_nlp, opts)
-        jax.block_until_ready(r.x)
-        dt = time.perf_counter() - t0
-        iters = max(int(r.iter_count), 1)
-        lv = {"lv1_n": n_lv, "lv1_status": int(r.status),
-              "lv1_iters": iters,
-              "lv1_ms_per_iter": round(dt / iters * 1e3, 2),
-              "lv1_wall_s": round(dt, 3)}
-    except Exception as e:  # keep the headline metric alive regardless
-        lv = {"lv1_error": repr(e)[:200]}
-
-    print(json.dumps(_result(nlps_per_sec, seq_per_sec, slsqp_per_sec, B,
-                             n_ok, dtype_str, dt_batched, res, lv)))
-
-
-def _result(nlps_per_sec, seq_per_sec, slsqp_per_sec, B, n_ok, dtype_str,
-            dt_batched, res, lv):
-    baseline = slsqp_per_sec if slsqp_per_sec else seq_per_sec
     return {
+        "nlps_per_sec": B / dt_batched,
+        "batch": B, "converged": n_ok,
+        "batched_wall_s": round(dt_batched, 4),
+        "sequential_nlps_per_sec": round(1.0 / dt_seq, 2),
+        "scipy_slsqp_nlps_per_sec":
+            round(slsqp_per_sec, 2) if slsqp_per_sec else None,
+        "iters_med": int(np.median(np.asarray(res.iter_count))),
+    }
+
+
+def _steady_resolve(cnlp, opts, solve):
+    """(status, iters, steady wall) of a cached re-solve."""
+    r = solve(cnlp, opts)
+    jax.block_until_ready(r.x)
+    t0 = time.perf_counter()
+    r = solve(cnlp, opts)
+    jax.block_until_ready(r.x)
+    return r, time.perf_counter() - t0
+
+
+def _phase_lv1_chained(opts, n=4096, v=32):
+    """Re-measure the chained path post explicit-inverse BCR (VERDICT #2),
+    plus the isolated factorize kernel + HBM roofline fraction."""
+    from ipopt_tpu.modellib import luksan_vlcek1
+    from ipopt_tpu.chained import canonicalize_chained, stage_jacobians
+    from ipopt_tpu.algorithm.solver import solve
+    from ipopt_tpu.algorithm.chained_kkt import chained_factorize_kkt
+    from ipopt_tpu.algorithm.step import compute_hessian
+
+    cnlp = canonicalize_chained(luksan_vlcek1(n, v), opts)
+    r, dt = _steady_resolve(cnlp, opts, solve)
+    iters = max(int(r.iter_count), 1)
+
+    # isolated kernel: assemble+factorize at the final iterate
+    it = r.iterate
+    mu = jnp.asarray(np.asarray(r.mu))
+
+    def _fact(it, mu, dwl):
+        AB = stage_jacobians(cnlp, it.x)
+        W = compute_hessian(cnlp, it)
+        return chained_factorize_kkt(cnlp, opts, it, AB, W, mu, dwl)
+
+    fact_j = jax.jit(_fact)
+    dwl = jnp.zeros((), it.x.dtype)
+    out = fact_j(it, mu, dwl)
+    jax.block_until_ready(out.delta_x)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fact_j(it, mu, dwl)
+        jax.block_until_ready(out.delta_x)
+    dt_fact = (time.perf_counter() - t0) / reps
+
+    ch = cnlp.chain
+    nb, b = ch.K + 1, ch.bs
+    frac = _bcr_traffic_bytes(nb, b) / (dt_fact * _hbm_bw_bytes_per_s())
+    return {
+        "n": n, "v": v, "status": int(r.status), "iters": iters,
+        "ms_per_iter": round(dt / iters * 1e3, 3),
+        "wall_s": round(dt, 3),
+        "fact_ms": round(dt_fact * 1e3, 3),
+        "roofline_frac": round(frac, 3),
+        "nb": nb, "block": b,
+    }
+
+
+def _phase_lv1_banded(opts, n):
+    """LuksanVlcek1 flat through the general-sparsity banded backend."""
+    from ipopt_tpu.modellib import luksan_vlcek1_flat
+    from ipopt_tpu.sparse import (canonicalize_sparse, banded_factorize_kkt,
+                                  sparse_hessian_values)
+    from ipopt_tpu.algorithm.solver import solve
+
+    bopts = opts.replace(linear_solver="banded-bcr")
+    t0 = time.perf_counter()
+    cnlp = canonicalize_sparse(luksan_vlcek1_flat(n), bopts)
+    t_sym = time.perf_counter() - t0
+    r, dt = _steady_resolve(cnlp, bopts, solve)
+    iters = max(int(r.iter_count), 1)
+
+    it = r.iterate
+    mu = jnp.asarray(np.asarray(r.mu))
+
+    def _fact(it, mu, dwl):
+        hv = sparse_hessian_values(cnlp, it)
+        return banded_factorize_kkt(cnlp, bopts, it, hv, mu, dwl)
+
+    fact_j = jax.jit(_fact)
+    dwl = jnp.zeros((), it.x.dtype)
+    out = fact_j(it, mu, dwl)
+    jax.block_until_ready(out.delta_x)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fact_j(it, mu, dwl)
+        jax.block_until_ready(out.delta_x)
+    dt_fact = (time.perf_counter() - t0) / reps
+
+    info = cnlp.chain
+    frac = _bcr_traffic_bytes(info.nb, info.b) / (dt_fact
+                                                  * _hbm_bw_bytes_per_s())
+    return {
+        "n": n, "status": int(r.status), "iters": iters,
+        "ms_per_iter": round(dt / iters * 1e3, 3),
+        "wall_s": round(dt, 3),
+        "fact_ms": round(dt_fact * 1e3, 3),
+        "roofline_frac": round(frac, 3),
+        "nb": info.nb, "block": info.b, "symbolic_s": round(t_sym, 2),
+        "colors_j": info.n_colors_j, "colors_h": info.n_colors_h,
+    }
+
+
+def _phase_mittelmann(opts, N=100):
+    """2-D elliptic boundary control at N>=100 (BASELINE item 4)."""
+    from ipopt_tpu.modellib import mittelmann_bndry_control
+    from ipopt_tpu.chained import canonicalize_chained
+    from ipopt_tpu.algorithm.solver import solve
+
+    cnlp = canonicalize_chained(mittelmann_bndry_control(N, example=1), opts)
+    r, dt = _steady_resolve(cnlp, opts, solve)
+    iters = max(int(r.iter_count), 1)
+    ch = cnlp.chain
+    return {
+        "N": N, "n": (N + 2) * (N + 2), "status": int(r.status),
+        "iters": iters,
+        "ms_per_iter": round(dt / iters * 1e3, 3),
+        "wall_s": round(dt, 3),
+        "obj": float(r.obj), "nb": ch.K + 1, "block": ch.bs,
+    }
+
+
+def main():
+    from ipopt_tpu.options import Options
+
+    on_tpu = jax.default_backend() != "cpu"
+    dtype_str = "float32" if on_tpu else "float64"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    # Single-precision tolerances mirror the reference's IPOPT_SINGLE build
+    # defaults (tol 1e-5, IpIpoptData.cpp:27-38).
+    tol = 1e-5 if dtype_str == "float32" else 1e-8
+    opts = Options(dtype=dtype_str, tol=tol, print_level=0,
+                   acceptable_tol=1e-4 if dtype_str == "float32" else 1e-6,
+                   acceptable_iter=10)
+
+    hs = _phase_hs071(opts)
+    nlps_per_sec = hs.pop("nlps_per_sec")
+
+    detail = {"dtype": dtype_str, "backend": jax.default_backend(), **hs}
+
+    phases = []
+    if not os.environ.get("BENCH_SKIP_LV1"):
+        phases = [
+            ("lv1_chained_4096", lambda: _phase_lv1_chained(opts), 300),
+            ("lv1_banded_1e5", lambda: _phase_lv1_banded(opts, 100_000), 400),
+            ("mittelmann_N100", lambda: _phase_mittelmann(opts, 100), 400),
+            ("lv1_banded_1e6", lambda: _phase_lv1_banded(opts, 1_000_000),
+             600),
+        ]
+    for name, fn, min_budget in phases:
+        if _left() < min_budget:
+            detail[name] = {"skipped": f"budget ({int(_left())}s left)"}
+            continue
+        try:
+            detail[name] = fn()
+        except Exception as e:  # keep the headline metric alive regardless
+            detail[name] = {"error": repr(e)[:200]}
+
+    baseline = (hs.get("scipy_slsqp_nlps_per_sec")
+                or hs.get("sequential_nlps_per_sec") or 1.0)
+    print(json.dumps({
         "metric": "batched_hs071_nlps_per_sec",
         "value": round(nlps_per_sec, 2),
         "unit": "NLPs/s",
         # speedup vs an established sequential CPU solver (scipy SLSQP; the
         # reference Ipopt cannot be built in this image - no sparse solvers)
         "vs_baseline": round(nlps_per_sec / baseline, 2),
-        "detail": {
-            "batch": B, "converged": n_ok, "dtype": dtype_str,
-            "backend": jax.default_backend(),
-            "batched_wall_s": round(dt_batched, 4),
-            "sequential_nlps_per_sec": round(seq_per_sec, 2),
-            "scipy_slsqp_nlps_per_sec":
-                round(slsqp_per_sec, 2) if slsqp_per_sec else None,
-            "iters_med": int(np.median(np.asarray(res.iter_count))),
-            **lv,
-        },
-    }
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":
