@@ -1040,6 +1040,7 @@ def solve(problem, options: Optional[Options] = None, it0=None,
                              f"c_dep[{k}] = {i}\n")
             from ..interfaces.transforms import reduce_constraints
             problem = reduce_constraints(problem, deps)
+    _user_nlp = problem if isinstance(problem, NLP) else None
     if isinstance(problem, NLP) and opts.linear_solver == "banded-bcr":
         # General-sparsity path: symbolic analysis -> RCM banding -> BCR
         # (the MA27/MA57 capability class; ipopt_tpu/sparse.py).  Uses the
@@ -1055,6 +1056,39 @@ def solve(problem, options: Optional[Options] = None, it0=None,
         cnlp = canonicalize_scenario(problem, opts)
     else:
         cnlp = problem
+    if (it0 is None and _user_nlp is not None and opts.warm_start_init_point
+            and (_user_nlp.y0 is not None or _user_nlp.z_L0 is not None
+                 or _user_nlp.z_U0 is not None)):
+        # TNLP::get_starting_point init_z/init_lambda parity: build a warm
+        # iterate from the user's multipliers (queried only when
+        # warm_start_init_point is set, like TNLPAdapter::GetStartingPoint).
+        s_ = cnlp.struct
+        dtype = cnlp.x0.dtype
+        x_w = cnlp.x0
+        s_w = cnlp.eval_d(x_w)
+        y_c = jnp.zeros((s_.me,), dtype)
+        y_d = jnp.zeros((s_.mi,), dtype)
+        if _user_nlp.y0 is not None and s_.m:
+            y_all = jnp.asarray(np.asarray(_user_nlp.y0), dtype)
+            if s_.me:
+                y_c = (y_all[jnp.asarray(s_.eq_idx)] * cnlp.obj_scale
+                       / cnlp.c_scale)
+            if s_.mi:
+                y_d = (y_all[jnp.asarray(s_.ineq_idx)] * cnlp.obj_scale
+                       / cnlp.d_scale)
+
+        def _zfree(z0):
+            if z0 is None:
+                return jnp.ones((s_.n,), dtype)
+            zf = jnp.asarray(np.asarray(z0), dtype)[jnp.asarray(s_.free_idx)]
+            return zf * cnlp.obj_scale
+
+        it0 = Iterate(
+            x=x_w, s=s_w, y_c=y_c, y_d=y_d,
+            z_L=jnp.where(cnlp.has_xL, _zfree(_user_nlp.z_L0), 0.0),
+            z_U=jnp.where(cnlp.has_xU, _zfree(_user_nlp.z_U0), 0.0),
+            v_L=jnp.where(cnlp.has_dL, jnp.ones((s_.mi,), dtype), 0.0),
+            v_U=jnp.where(cnlp.has_dU, jnp.ones((s_.mi,), dtype), 0.0))
     if opts.derivative_test != "none":
         from ..deriv_check import check_derivatives
         report = check_derivatives(cnlp, opts)
