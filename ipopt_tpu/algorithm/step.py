@@ -86,11 +86,11 @@ def solve_with_refinement(K, fac: LDLTResult, rhs, opts: Options):
     multiplier rows are eliminated exactly.
     """
     sol = ldlt_solve(fac, rhs)
-    rhs_norm = jnp.maximum(jnp.max(jnp.abs(rhs)), 1e-30)
+    rhs_norm = jnp.maximum(jnp.max(jnp.abs(rhs), initial=0.0), 1e-30)
 
     def ratio(s):
         r = rhs - K @ s
-        return jnp.max(jnp.abs(r)) / rhs_norm
+        return jnp.max(jnp.abs(r), initial=0.0) / rhs_norm
 
     def body(carry):
         i, sol, _ = carry

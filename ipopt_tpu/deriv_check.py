@@ -33,19 +33,18 @@ class DerivCheckResult(NamedTuple):
 
 def check_derivatives(nlp: CanonicalNLP, opts: Options, x=None) -> DerivCheckResult:
     x = nlp.x0 if x is None else jnp.asarray(x, nlp.x0.dtype)
-    # point_perturbation_radius (IpTNLPAdapter.cpp:179-211): perturb the test
-    # point randomly within the given radius (0 = test exactly at x0).
-    if x is None or opts.point_perturbation_radius > 0:
+    # point_perturbation_radius (IpTNLPAdapter.cpp:3030-3037): random test
+    # point uniform in [max(x_l, x0-r), min(x_u, x0+r)] (0 = exactly at x0).
+    if opts.point_perturbation_radius > 0:
         rng = np.random.RandomState(42)
-        pert = rng.uniform(-1.0, 1.0, nlp.n) * opts.point_perturbation_radius
-        if opts.point_perturbation_radius > 0:
-            xp_ = np.asarray(x) + pert
-            # stay inside the (relaxed) bounds
-            xp_ = np.where(np.asarray(nlp.has_xL),
-                           np.maximum(xp_, np.asarray(nlp.x_L)), xp_)
-            xp_ = np.where(np.asarray(nlp.has_xU),
-                           np.minimum(xp_, np.asarray(nlp.x_U)), xp_)
-            x = jnp.asarray(xp_, nlp.x0.dtype)
+        r = opts.point_perturbation_radius
+        xr = np.asarray(x)
+        lo = np.where(np.asarray(nlp.has_xL),
+                      np.maximum(np.asarray(nlp.x_L), xr - r), xr - r)
+        hi = np.where(np.asarray(nlp.has_xU),
+                      np.minimum(np.asarray(nlp.x_U), xr + r), xr + r)
+        x = jnp.asarray(lo + rng.uniform(0.0, 1.0, nlp.n) * (hi - lo),
+                        nlp.x0.dtype)
     h = opts.derivative_test_perturbation
     tol = opts.derivative_test_tol
     n = nlp.n

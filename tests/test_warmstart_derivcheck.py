@@ -47,7 +47,10 @@ def test_derivative_checker_catches_nonsmooth():
     # FD probes x>0 (slope 1.0) — a genuine AD/FD mismatch.
     opts = Options(derivative_test="first-order",
                    derivative_test_perturbation=1e-2, bound_relax_factor=0.0,
-                   nlp_scaling_method="none")
+                   nlp_scaling_method="none",
+                   # keep the test point exactly on the kink (the reference
+                   # default perturbs randomly within point_perturbation_radius)
+                   point_perturbation_radius=0.0)
     nlp = canonicalize(NLP(
         f=lambda x: jnp.sum(jnp.where(x > 0, x, 0.1 * x)),
         x0=jnp.array([0.0, 0.0])), opts)
