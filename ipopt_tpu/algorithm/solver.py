@@ -556,10 +556,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     # be the original problem; skip tracing the nested solver entirely.
     if enable_resto and nlp.struct.me + nlp.struct.mi == 0:
         enable_resto = False
-    # Restoration for the banded backend is a later milestone (the banded
-    # resto NLP needs its own symbolic analysis pass).
     from .step import _backend
-    if enable_resto and _backend(nlp) == "banded":
+    if enable_resto and _backend(nlp) == "banded" and getattr(
+            nlp.chain, "_resto_info", None) is None:
+        # a hand-built banded CanonicalNLP without the resto symbolic
+        # analysis (e.g. the resto NLP itself) cannot nest another resto
         enable_resto = False
 
     if enable_resto:
@@ -578,6 +579,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         elif _backend(nlp) == "arrow":
             from .arrow_resto import perform_restoration_arrow
             rr = perform_restoration_arrow(
+                nlp, opts, resto_opts, it, ev, mu, fs_entry,
+                ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
+        elif _backend(nlp) == "banded":
+            from .banded_resto import perform_restoration_banded
+            rr = perform_restoration_banded(
                 nlp, opts, resto_opts, it, ev, mu, fs_entry,
                 ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
         else:

@@ -226,7 +226,8 @@ def analyze_sparsity(n: int, mi: int, me: int,
                      j_rows, j_cols, eq_mask,
                      h_rows, h_cols,
                      min_block: int = 8,
-                     block_align: int = 4) -> BandedInfo:
+                     block_align: int = 4,
+                     j_colors=None, h_colors=None) -> BandedInfo:
     """The symbolic phase: pattern -> RCM -> block size -> scatter targets."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
@@ -272,9 +273,13 @@ def analyze_sparsity(n: int, mi: int, me: int,
     n_pad = nb * b - N
 
     # --- colorings ---------------------------------------------------------
-    j_colors = greedy_coloring(np.asarray(j_rows), np.asarray(j_cols), n, m)
+    if j_colors is None:
+        j_colors = greedy_coloring(np.asarray(j_rows), np.asarray(j_cols),
+                                   n, m)
     n_colors_j = int(j_colors.max()) + 1 if n and len(j_rows) else 0
-    h_colors = greedy_coloring(np.asarray(h_rows), np.asarray(h_cols), n, n)
+    if h_colors is None:
+        h_colors = greedy_coloring(np.asarray(h_rows), np.asarray(h_cols),
+                                   n, n)
     n_colors_h = int(h_colors.max()) + 1 if n and len(h_rows) else 0
 
     # --- scatter targets (value-vector order documented in BandedInfo) -----
@@ -427,6 +432,42 @@ def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
 
     info = analyze_sparsity(n, mi, me, j_rows, j_cols, eq_mask,
                             h_rows, h_cols)
+
+    # Symbolic analysis for the RESTORATION NLP (x widened by per-row n/p
+    # slacks; g_r = g - p + n): the pattern is the original plus identity
+    # couplings into the slack columns and a full x-diagonal for the
+    # proximity term — all static, so the nested resto IPM can run on the
+    # banded backend too (IpRestoMinC_1Nrm is solver-agnostic).
+    nr = n + 2 * m
+    jr_rows = [j_rows]
+    jr_cols = [j_cols]
+    if m:
+        rr = np.arange(m, dtype=np.int32)
+        jr_rows += [rr, rr]
+        jr_cols += [(n + rr).astype(np.int32), (n + m + rr).astype(np.int32)]
+    jr_rows = np.concatenate(jr_rows) if m else j_rows
+    jr_cols = np.concatenate(jr_cols) if m else j_cols
+    diag_x = np.arange(n, dtype=np.int32)
+    hr_rows = np.concatenate([h_rows, diag_x])
+    hr_cols = np.concatenate([h_cols, diag_x])
+    import scipy.sparse as sp
+    Hd = sp.coo_matrix((np.ones(len(hr_rows), np.int8), (hr_rows, hr_cols)),
+                       shape=(nr, nr))
+    Hd = (Hd != 0).tocoo()
+    # resto J coloring from the original one: each slack column appears in
+    # exactly one row, so all n-columns share one new color and all
+    # p-columns another (no python greedy loop at 1e6 scale)
+    ncj = int(info.j_colors.max()) + 1 if len(j_rows) else 0
+    jc_resto = np.concatenate([
+        info.j_colors,
+        np.full(m, ncj, np.int32), np.full(m, ncj + 1, np.int32)]) if m \
+        else info.j_colors
+    resto_info = analyze_sparsity(nr, mi, me, jr_rows, jr_cols, eq_mask,
+                                  Hd.row.astype(np.int32),
+                                  Hd.col.astype(np.int32),
+                                  j_colors=jc_resto)
+    object.__setattr__(info, "_resto_info", resto_info)
+
     base = base._replace(chain=info)
     if opts.nlp_scaling_method == "gradient-based":
         base = _sparse_gradient_scaling(base, opts)
@@ -631,10 +672,14 @@ def banded_factorize_kkt(nlp: CanonicalNLP, opts: Options, it, h_vals, mu,
         trial, dxv, dcv, Kb, fac, ok, gave_up = carry
         was_singular = fac.singular
         only_dc = jnp.logical_and(was_singular, dcv <= delta_cd)
-        new_dc = jnp.where(was_singular,
-                           jnp.minimum(jnp.maximum(dcv * 100.0, delta_cd),
-                                       1e-4),
-                           dcv)
+        # Escalate delta_c on EVERY failed round (not only on singularity):
+        # under an RCM ordering a y-row can be eliminated before its x
+        # partners, so with huge near-bound Sigma entries in the same block
+        # the elimination loses the tiny -delta_c pivots to roundoff and
+        # reports wrong inertia rather than singularity; a larger dual
+        # regularization is the only lever that restores quasi-definite
+        # conditioning (the MA27 pivot-tolerance IncreaseQuality analog).
+        new_dc = jnp.minimum(jnp.maximum(dcv * 100.0, delta_cd), 1e-2)
         first_try = (dxv == 0)
         start_val = jnp.where(delta_w_last == 0,
                               opts.first_hessian_perturbation,

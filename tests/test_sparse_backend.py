@@ -141,3 +141,23 @@ def test_rcm_bandwidth_reduction():
     assert int(rb.status) == 0
     assert abs(float(rb.obj) - float(rd.obj)) < 1e-6 * max(
         1.0, abs(float(rd.obj)))
+
+
+def test_banded_restoration_detects_infeasibility():
+    """The banded backend's restoration phase (banded_resto.py: the resto NLP
+    keeps the sparse structure) must detect inconsistent constraints, like
+    the dense path does (IpRestoMinC_1Nrm solver-agnosticism)."""
+    from ipopt_tpu.types import SolverReturn
+    n = 12
+
+    def g(x):
+        chain = x[:-2] + x[1:-1] - 2.0 * x[2:]
+        return jnp.concatenate([chain, jnp.array([x[0] - 1.0, x[0] + 1.0])])
+
+    m = n
+    nlp = NLP(f=lambda x: jnp.sum((x - 0.5) ** 2), g=g,
+              g_L=np.zeros(m), g_U=np.zeros(m), x0=np.full(n, 0.5),
+              x_L=-3.0, x_U=3.0)
+    rb = solve(nlp, print_level=0, tol=1e-8, linear_solver="banded-bcr")
+    assert int(rb.status) == int(SolverReturn.LOCAL_INFEASIBILITY), \
+        SolverReturn(int(rb.status))
