@@ -57,12 +57,19 @@ def filter_acceptable(fs: FilterState, theta_t, phi_t):
 
 
 def filter_augment(fs: FilterState, theta, phi, gamma_theta, gamma_phi) -> FilterState:
-    """AugmentFilter (IpFilterLSAcceptor.cpp:295): add the margined pair."""
-    i = jnp.minimum(fs.size, fs.theta.shape[0] - 1)
+    """AugmentFilter (IpFilterLSAcceptor.cpp:295): add the margined pair.
+
+    The reference filter grows unboundedly; this one has static capacity
+    (max_filter_size).  On overflow the entry with the LARGEST theta is
+    replaced — the least binding corner for late (near-feasible) iterations,
+    so convergence-critical small-theta history is preserved."""
+    cap = fs.theta.shape[0]
+    full = fs.size >= cap
+    i = jnp.where(full, jnp.argmax(fs.theta), fs.size)
     return FilterState(
         theta=fs.theta.at[i].set((1.0 - gamma_theta) * theta),
         phi=fs.phi.at[i].set(phi - gamma_phi * theta),
-        size=jnp.minimum(fs.size + 1, fs.theta.shape[0]))
+        size=jnp.minimum(fs.size + 1, cap))
 
 
 class LineSearchResult(NamedTuple):

@@ -613,8 +613,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     step_norm = jnp.maximum(jnp.max(jnp.abs(sr.step.x), initial=0.0),
                             jnp.max(jnp.abs(sr.step.s), initial=0.0))
 
-    if opts.print_level >= 5 or (opts.output_file
-                                 and opts.file_print_level >= 5):
+    if opts.print_level >= 4 or (opts.output_file
+                                 and opts.file_print_level >= 4):
         # inf_pr_output (IpOrigIterationOutput.cpp): 'original' = unscaled
         # max-norm violation; 'internal' = the line-search theta norm.
         inf_pr_show = (ls.theta_curr if opts.inf_pr_output == "internal"
@@ -1107,8 +1107,8 @@ def solve(problem, options: Optional[Options] = None, it0=None,
         for line in report.failures[:20]:
             jnlst.printf(EJournalLevel.J_SUMMARY, EJournalCategory.J_NLP,
                          "  " + line + "\n")
-    if opts.print_level >= 5 or (opts.output_file
-                                 and opts.file_print_level >= 5):
+    if opts.print_level >= 4 or (opts.output_file
+                                 and opts.file_print_level >= 4):
         _print_header()
     time_limited = opts.max_wall_time < 1e19 or opts.max_cpu_time < 1e6
     if opts.timing_statistics or opts.print_timing_statistics:

@@ -328,9 +328,21 @@ def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
     fr = factorize_any(nlp, opts, it, ev, W, mu, delta_w_last)
     parts = condensed_rhs_parts(nlp, it, ev, mu, opts.kappa_d)
     xsplit, rr = solve_any(nlp, opts, fr.fac, fr.K, parts)
-    step = direction_from_parts(nlp, it, xsplit, mu, fr.failed)
+    failed = fr.failed
+    if (opts.neg_curv_test_tol > 0 and _backend(nlp) == "dense"
+            and not isinstance(W, tuple) and hasattr(W, "ndim")
+            and getattr(W, "ndim", 0) == 2):
+        # Inertia-free curvature test (IpPDFullSpaceSolver.cpp:592-637):
+        # when the inertia correction gave up, still accept the direction if
+        # the Hessian curvature along dx is sufficiently positive:
+        #     dx' (W + delta_x I) dx >= neg_curv_test_tol * ||dx||^2.
+        dx = xsplit[0]
+        curv = jnp.dot(dx, W @ dx) + fr.delta_x * jnp.dot(dx, dx)
+        curv_ok = curv >= opts.neg_curv_test_tol * jnp.dot(dx, dx)
+        failed = jnp.logical_and(failed, jnp.logical_not(curv_ok))
+    step = direction_from_parts(nlp, it, xsplit, mu, failed)
     return StepResult(step=step, delta_x=fr.delta_x, delta_c=fr.delta_c,
-                      delta_w_last=fr.delta_w_last, failed=fr.failed,
+                      delta_w_last=fr.delta_w_last, failed=failed,
                       num_trials=fr.num_trials, residual_ratio=rr,
                       fac=fr.fac, K=fr.K)
 
