@@ -263,9 +263,9 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         each: c_soc = alpha*c + c(trial), resolve with saved factorization."""
         def soc_body(p, carry):
             (best_acc, best_ftype, best_it, best_f, best_c, best_d,
-             c_soc, dms_soc, theta_old, active, n_rounds) = carry
+             c_soc, dms_soc, theta_old, active, n_rounds, alpha_soc) = carry
             dsoc = soc_direction(nlp, opts, it, ev, sr.fac, sr.K, mu,
-                                 c_soc, dms_soc)
+                                 c_soc, dms_soc, alpha_soc=alpha_soc)
             a_soc, a_soc_dual = fraction_to_boundary(nlp, it, dsoc, tau)
             it_soc = _trial_point(it, dsoc, a_soc, alpha_dual)
             f_s, c_s, d_s, th_s, ph_s = _eval_theta_phi(nlp, opts, it_soc, mu)
@@ -283,7 +283,8 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
                    jnp.where(acc, d_s, best_d),
                    a_soc * c_soc + c_s, a_soc * dms_soc + (d_s - it_soc.s),
                    th_s, keep_going,
-                   n_rounds + active.astype(jnp.int32))
+                   n_rounds + active.astype(jnp.int32),
+                   a_soc)
             return out
 
         c_soc0 = alpha * ev.c + c_t
@@ -292,9 +293,10 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
                 c_soc0, dms0,
                 _theta(nlp, c_t, d_t, it_t_s,
                        opts.constraint_violation_norm_type),
-                jnp.ones((), bool), jnp.zeros((), jnp.int32))
+                jnp.ones((), bool), jnp.zeros((), jnp.int32),
+                alpha)
         out = lax.fori_loop(0, opts.max_soc, soc_body, init)
-        return out[:6] + (out[-1],)
+        return out[:6] + (out[10],)
 
     def body(cy: Carry) -> Carry:
         alpha = cy.alpha

@@ -348,14 +348,19 @@ def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
 
 
 def soc_direction(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
-                  fac, K, mu, c_soc, dms_soc):
+                  fac, K, mu, c_soc, dms_soc, alpha_soc=None):
     """Second-order correction direction: same factorization, constraint parts
     of the rhs replaced by the SOC values (FilterLSAcceptor::
-    TrySecondOrderCorrection, IpFilterLSAcceptor.cpp:531, soc_method=0)."""
+    TrySecondOrderCorrection, IpFilterLSAcceptor.cpp:531).  soc_method=1
+    additionally scales the x/s rhs rows by the running SOC step size
+    (IpFilterLSAcceptor.cpp:572-603)."""
     from ..kkt import grad_barrier_x, grad_barrier_s
     r_x = (grad_barrier_x(nlp, it, ev.grad_f, mu, opts.kappa_d)
            + ev.jc_t(it.y_c) + ev.jd_t(it.y_d))
     r_s = grad_barrier_s(nlp, it, mu, opts.kappa_d) - it.y_d
+    if opts.soc_method == 1 and alpha_soc is not None:
+        r_x = alpha_soc * r_x
+        r_s = alpha_soc * r_s
     parts = (-r_x, -r_s, -c_soc, -dms_soc)
     xsplit, _ = solve_any(nlp, opts, fac, K, parts)
     dx, ds, dy_c, dy_d = xsplit
