@@ -487,6 +487,110 @@ def mittelmann_bndry_control(N: int, example: int = 1) -> ChainedNLP:
         name=f"mittelmann_bndry{example}_N{N}")
 
 
+def mittelmann_dist_control(N: int) -> NLP:
+    """MittelmannDistCntrlNeumA1 (examples/ScalableProblems/
+    MittelmannDistCntrlNeumA.hpp:413-439, .cpp:213-331): 2-D elliptic
+    *distributed* control with Neumann boundary conditions,
+
+        min  hh * sum_int 0.5*((y_ij - yd)^2 + alpha u_ij^2)
+        s.t. 4 y_ij - y_nbrs + hh*(-exp(y_ij) - u_ij) = 0   (interior PDE)
+             (1 + h b) y_bnd - y_adj = 0                    (Neumann rows)
+             y <= 0.371,  -8 <= u <= 9
+
+    with yd = sin(2 pi x1) sin(2 pi x2), alpha = 0.001, b = 1.  This is the
+    general-grid-sparsity case the banded-BCR backend exists for: the flat
+    NLP carries its declared Jacobian/Hessian patterns (TNLP structure
+    parity) and RCM recovers the O(N) bandwidth.
+
+    Variables: x = [Y ((N+2)^2 grid) | U (N^2 interior controls)].
+    """
+    Ng = N + 2
+    h = 1.0 / (N + 1)
+    hh = h * h
+    alpha = 0.001
+    b = 1.0
+    ny = Ng * Ng
+    n = ny + N * N
+
+    def yi(i, j):  # numpy index helpers (static)
+        return i * Ng + j
+
+    ii, jj = np.meshgrid(np.arange(1, N + 1), np.arange(1, N + 1),
+                         indexing="ij")
+    x1 = ii.astype(np.float64) * h
+    x2 = jj.astype(np.float64) * h
+    yd = np.sin(2.0 * np.pi * x1) * np.sin(2.0 * np.pi * x2)
+    yd_j = jnp.asarray(yd.reshape(-1))
+
+    def f(x):
+        Y = x[:ny].reshape(Ng, Ng)
+        u = x[ny:]
+        y_int = Y[1:-1, 1:-1].reshape(-1)
+        return hh * jnp.sum(0.5 * ((y_int - yd_j) ** 2 + alpha * u ** 2))
+
+    def g(x):
+        Y = x[:ny].reshape(Ng, Ng)
+        u = x[ny:].reshape(N, N)
+        yc = Y[1:-1, 1:-1]
+        pde = (4.0 * yc - Y[:-2, 1:-1] - Y[2:, 1:-1]
+               - Y[1:-1, :-2] - Y[1:-1, 2:]
+               + hh * (-jnp.exp(yc) - u))
+        nb = []
+        nb.append((1.0 + h * b) * Y[1:-1, 0] - Y[1:-1, 1])      # j = 0 side
+        nb.append((1.0 + h * b) * Y[1:-1, -1] - Y[1:-1, -2])    # j = N+1
+        nb.append((1.0 + h * b) * Y[0, 1:-1] - Y[1, 1:-1])      # i = 0
+        nb.append((1.0 + h * b) * Y[-1, 1:-1] - Y[-2, 1:-1])    # i = N+1
+        return jnp.concatenate([pde.reshape(-1)] + nb)
+
+    m = N * N + 4 * N
+
+    # declared sparsity (TNLP get_nlp_info / eval_jac_g structure parity)
+    jr, jc = [], []
+    r = 0
+    for i in range(1, N + 1):
+        for j in range(1, N + 1):
+            for (a, bb) in ((i, j), (i - 1, j), (i + 1, j), (i, j - 1),
+                            (i, j + 1)):
+                jr.append(r)
+                jc.append(yi(a, bb))
+            jr.append(r)
+            jc.append(ny + (i - 1) * N + (j - 1))
+            r += 1
+    for i in range(1, N + 1):                    # j = 0 side
+        jr += [r, r]
+        jc += [yi(i, 0), yi(i, 1)]
+        r += 1
+    for i in range(1, N + 1):                    # j = N+1
+        jr += [r, r]
+        jc += [yi(i, Ng - 1), yi(i, Ng - 2)]
+        r += 1
+    for j in range(1, N + 1):                    # i = 0
+        jr += [r, r]
+        jc += [yi(0, j), yi(1, j)]
+        r += 1
+    for j in range(1, N + 1):                    # i = N+1
+        jr += [r, r]
+        jc += [yi(Ng - 1, j), yi(Ng - 2, j)]
+        r += 1
+    assert r == m
+    diag = np.arange(n, dtype=np.int32)
+
+    x_L = np.full(n, -1e20)
+    x_U = np.full(n, np.inf)
+    x_U[:ny] = 0.371
+    x_L[ny:] = -8.0
+    x_U[ny:] = 9.0
+    x0 = np.zeros(n)
+    x0[ny:] = 0.5 * (-8.0 + 9.0)
+
+    return NLP(name=f"mittelmann_dist_control_N{N}",
+               f=f, g=g, g_L=np.zeros(m), g_U=np.zeros(m),
+               x_L=x_L, x_U=x_U, x0=x0,
+               jac_g_sparsity=(np.asarray(jr, np.int32),
+                               np.asarray(jc, np.int32)),
+               lag_hess_sparsity=(diag, diag))
+
+
 def luksan_vlcek3(n: int, equality: bool = True) -> NLP:
     """LuksanVlcek3 (examples/ScalableProblems/LuksanVlcek3.cpp): chained
     Powell singular objective, two boundary constraints.  n % 4 == 0."""

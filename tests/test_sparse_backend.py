@@ -161,3 +161,15 @@ def test_banded_restoration_detects_infeasibility():
     rb = solve(nlp, print_level=0, tol=1e-8, linear_solver="banded-bcr")
     assert int(rb.status) == int(SolverReturn.LOCAL_INFEASIBILITY), \
         SolverReturn(int(rb.status))
+
+
+def test_mittelmann_distributed_control():
+    """MittelmannDistCntrlNeumA1 (the reference's general-grid-sparsity
+    distributed-control case, MittelmannDistCntrlNeumA.hpp:413): banded
+    backend matches the dense path at small N."""
+    from ipopt_tpu.modellib import mittelmann_dist_control
+    nlp = mittelmann_dist_control(6)
+    rd = solve(nlp, print_level=0, tol=1e-8)
+    rb = solve(nlp, print_level=0, tol=1e-8, linear_solver="banded-bcr")
+    assert int(rb.status) == 0
+    assert abs(float(rb.obj) - float(rd.obj)) < 1e-6
