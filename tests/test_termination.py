@@ -76,3 +76,19 @@ def test_counters_exact_hs071():
     assert int(c.n_obj_evals) == 2 * iters         # 1 trial + 1 accepted eval
     assert int(c.n_factorizations) == iters        # no inertia corrections
     assert int(c.n_kkt_solves) == iters            # no SOC on hs071
+
+
+def test_option_file_fills_defaults(tmp_path, monkeypatch):
+    """option_file_name: file values apply where the caller left defaults;
+    explicit values win (IpoptApplication::Initialize allow_clobber=false)."""
+    optfile = tmp_path / "ipopt.opt"
+    optfile.write_text("# comment\nmax_iter 7\ntol 1e-3\n")
+    monkeypatch.chdir(tmp_path)
+    # explicit NON-default value wins over the file ('explicit' detection
+    # compares against the registered default, so an explicit value equal to
+    # the default is indistinguishable and the file fills it)
+    res = solve(hs071(), print_level=0, tol=1e-9)
+    # max_iter 7 from the file: hs071 needs 8 iters at tol 1e-9
+    assert int(res.status) == int(SolverReturn.MAXITER_EXCEEDED)
+    res2 = solve(hs071(), print_level=0)  # file tol 1e-3 + max_iter 7
+    assert int(res2.status) == int(SolverReturn.SUCCESS)
