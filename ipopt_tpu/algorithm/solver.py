@@ -212,13 +212,15 @@ def _kappa_sigma_clip(nlp: CanonicalNLP, it: Iterate, mu, kappa_sigma):
 
 
 def _print_iter(iter_count, f, inf_pr, inf_du, mu, dnorm, delta_x, alpha_du,
-                alpha_pr, ls_count, output_file=""):
+                alpha_pr, ls_count, output_file="", print_freq=1):
     """The classic log line (IpOrigIterationOutput.cpp:81); optionally teed to
     ``output_file`` (FileJournal equivalent, IpJournalist.hpp:416)."""
     lg_mu = jnp.log10(jnp.maximum(mu, 1e-99))
     lg_rg = jnp.where(delta_x > 0, jnp.log10(jnp.maximum(delta_x, 1e-99)), jnp.nan)
 
     def cb(i, f, pr, du, lgmu, dn, rg, adu, apr, ls):
+        if print_freq > 1 and int(i) % print_freq != 0:
+            return  # print_frequency_iter (IpOrigIterationOutput.cpp)
         rg_s = f"{float(rg):5.1f}" if not jnp.isnan(rg) else "  - "
         line = (f"{int(i):4d} {float(f):16.7e} {float(pr):8.2e} {float(du):8.2e}"
                 f" {float(lgmu):5.1f} {float(dn):8.2e} {rg_s} {float(adu):8.2e}"
@@ -620,7 +622,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         inf_pr_show = (ls.theta_curr if opts.inf_pr_output == "internal"
                        else primal_inf)
         _print_iter(st.iter_count, ev.f, inf_pr_show, dual_inf, mu, step_norm,
-                    sr.delta_x, ls.alpha_dual, ls.alpha_primal, ls.n_backtracks)
+                    sr.delta_x, ls.alpha_dual, ls.alpha_primal,
+                    ls.n_backtracks, print_freq=opts.print_frequency_iter)
 
     # --- intermediate_callback (TNLP::intermediate_callback parity,
     #     IpTNLP.hpp:665: per-iteration user hook with premature stop) -----
