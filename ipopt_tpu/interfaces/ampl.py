@@ -209,8 +209,8 @@ class _BinaryReader:
 
 
 def _decode_bound(tokens, rdr) -> Tuple[float, float]:
+    """Decode one r/b-section line; consumes the line from ``rdr``."""
     code = int(tokens[0])
-    rdr.pos += 0  # tokens already consumed by caller
     if code == 0:
         out = float(tokens[1]), float(tokens[2])
     elif code == 1:
