@@ -163,6 +163,7 @@ def quality_function_mu(nlp, it: Iterate, opts: Options, step_aff: Iterate,
     """
     avg, ncomps = avg_complementarity(nlp, it)
     dtype = it.x.dtype
+    nsafe = jnp.maximum(ncomps, 1)
 
     def qf(sigma):
         mu_c = sigma * avg
@@ -173,11 +174,53 @@ def quality_function_mu(nlp, it: Iterate, opts: Options, step_aff: Iterate,
         nxU = jnp.where(nlp.has_xU, (sl_xU - a_pr * step.x) * (it.z_U + a_du * step.z_U), 0.0)
         nsL = jnp.where(nlp.has_dL, (sl_sL + a_pr * step.s) * (it.v_L + a_du * step.v_L), 0.0)
         nsU = jnp.where(nlp.has_dU, (sl_sU - a_pr * step.s) * (it.v_U + a_du * step.v_U), 0.0)
-        compl_sq = (jnp.sum(nxL ** 2) + jnp.sum(nxU ** 2)
-                    + jnp.sum(nsL ** 2) + jnp.sum(nsU ** 2))
         du = (1.0 - a_du) * dual_inf
         pr = (1.0 - a_pr) * primal_inf
-        return (du * du + pr * pr + compl_sq / jnp.maximum(ncomps, 1))
+        # quality_function_norm_type (IpQualityFunctionMuOracle.cpp:55-120)
+        norm = opts.quality_function_norm_type
+        if norm == "1-norm":
+            compl_v = (jnp.sum(jnp.abs(nxL)) + jnp.sum(jnp.abs(nxU))
+                       + jnp.sum(jnp.abs(nsL)) + jnp.sum(jnp.abs(nsU))) / nsafe
+            quality = du + pr + compl_v
+        elif norm == "max-norm":
+            compl_v = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(nxL), initial=0.0),
+                            jnp.max(jnp.abs(nxU), initial=0.0)),
+                jnp.maximum(jnp.max(jnp.abs(nsL), initial=0.0),
+                            jnp.max(jnp.abs(nsU), initial=0.0)))
+            quality = jnp.maximum(jnp.maximum(du, pr), compl_v)
+        else:  # "2-norm-squared" (default) and "2-norm" (same argmin)
+            compl_v = jnp.sqrt((jnp.sum(nxL ** 2) + jnp.sum(nxU ** 2)
+                                + jnp.sum(nsL ** 2) + jnp.sum(nsU ** 2))
+                               / nsafe)
+            quality = du * du + pr * pr + compl_v * compl_v
+            if norm == "2-norm":
+                quality = jnp.sqrt(quality)
+        # centrality / balancing terms (CentralityEnum / BalancingTermEnum)
+        if (opts.quality_function_centrality != "none"
+                or opts.quality_function_balancing_term != "none"):
+            compl_avg = (jnp.sum(nxL) + jnp.sum(nxU) + jnp.sum(nsL)
+                         + jnp.sum(nsU)) / nsafe
+            inf_ = jnp.asarray(jnp.inf, dtype)
+            compl_min = jnp.minimum(
+                jnp.minimum(jnp.min(jnp.where(nlp.has_xL, nxL, inf_), initial=jnp.inf),
+                            jnp.min(jnp.where(nlp.has_xU, nxU, inf_), initial=jnp.inf)),
+                jnp.minimum(jnp.min(jnp.where(nlp.has_dL, nsL, inf_), initial=jnp.inf),
+                            jnp.min(jnp.where(nlp.has_dU, nsU, inf_), initial=jnp.inf)))
+            xi = jnp.clip(jnp.where(compl_avg > 0,
+                                    compl_min / jnp.maximum(compl_avg, 1e-300),
+                                    1.0), 1e-12, 1.0)
+            cen = opts.quality_function_centrality
+            if cen == "log":
+                quality = quality - compl_v * jnp.log(xi)
+            elif cen == "reciprocal":
+                quality = quality + compl_v / xi
+            elif cen == "cubed-reciprocal":
+                quality = quality + compl_v / xi ** 3
+            if opts.quality_function_balancing_term == "cubic":
+                quality = quality + jnp.maximum(
+                    0.0, jnp.maximum(du, pr) - compl_v) ** 3
+        return quality
 
     # Golden-section on log(sigma).
     lo = jnp.asarray(jnp.log(opts.sigma_min), dtype)
@@ -242,7 +285,19 @@ def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
     iterations, else fall back to monotone (Fiacco-McCormick) mode; return to
     free mode once the barrier problem for the monotone mu is solved.
     """
-    kkt_error = jnp.maximum(jnp.maximum(dual_s, primal), compl_fn(0.0))
+    # adaptive_mu_kkt_norm_type (IpAdaptiveMuUpdate.cpp): combine the three
+    # component norms per the selected norm (components themselves are
+    # max-norm scalars — the per-entry vectors are already reduced upstream).
+    compl0 = compl_fn(0.0)
+    knorm = opts.adaptive_mu_kkt_norm_type
+    if knorm == "1-norm":
+        kkt_error = dual_s + primal + compl0
+    elif knorm == "2-norm-squared":
+        kkt_error = dual_s ** 2 + primal ** 2 + compl0 ** 2
+    elif knorm == "2-norm":
+        kkt_error = jnp.sqrt(dual_s ** 2 + primal ** 2 + compl0 ** 2)
+    else:  # "max-norm"
+        kkt_error = jnp.maximum(jnp.maximum(dual_s, primal), compl0)
 
     mu_free = jnp.clip(oracle_mu, opts.mu_min, opts.mu_max)
     tau_free = jnp.maximum(opts.tau_min, 1.0 - mu_free)
@@ -258,8 +313,11 @@ def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
         count = jnp.where(progress, 0, ams.no_progress_count + 1)
         new_ref = ams.ref_kkt_error
         switch_to_monotone = jnp.logical_and(ams.free_mode, blocked)
-        # RememberCurrentPoint: augment with margin (filter_margin_fact).
-        margin = jnp.minimum(1.0, 1e-5 * jnp.maximum(1.0, theta_curr))
+        # RememberCurrentPoint: augment with margin (filter_margin_fact /
+        # filter_max_margin, IpAdaptiveMuUpdate.cpp).
+        margin = jnp.minimum(opts.filter_max_margin,
+                             opts.filter_margin_fact
+                             * jnp.maximum(1.0, theta_curr))
         i = jnp.minimum(filt_size, _OBJ_FILTER_CAP - 1)
         aug = jnp.logical_and(ams.free_mode, progress)
         filt_theta = jnp.where(aug, filt_theta.at[i].set(theta_curr - margin),
