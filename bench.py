@@ -189,13 +189,17 @@ def _phase_lv1_chained(opts, n=4096, v=32):
 
 
 def _phase_lv1_banded(opts, n):
-    """LuksanVlcek1 flat through the general-sparsity banded backend."""
+    """LuksanVlcek1 flat through the general-sparsity banded backend.
+
+    resto_phase=False keeps the nested restoration out of the program at the
+    1e5/1e6 scale (LV1's path never triggers it; tracing it would double the
+    remote-compile size) — the measured hot path is unchanged."""
     from ipopt_tpu.modellib import luksan_vlcek1_flat
     from ipopt_tpu.sparse import (canonicalize_sparse, banded_factorize_kkt,
                                   sparse_hessian_values)
     from ipopt_tpu.algorithm.solver import solve
 
-    bopts = opts.replace(linear_solver="banded-bcr")
+    bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False)
     t0 = time.perf_counter()
     cnlp = canonicalize_sparse(luksan_vlcek1_flat(n), bopts)
     t_sym = time.perf_counter() - t0
@@ -235,21 +239,27 @@ def _phase_lv1_banded(opts, n):
 
 
 def _phase_mittelmann(opts, N=100):
-    """2-D elliptic boundary control at N>=100 (BASELINE item 4)."""
-    from ipopt_tpu.modellib import mittelmann_bndry_control
-    from ipopt_tpu.chained import canonicalize_chained
+    """2-D elliptic distributed control at N>=100 through the general-
+    sparsity backend (BASELINE item 4; MittelmannDistCntrlNeumA1 — the
+    reference registry's general-grid-sparsity case)."""
+    from ipopt_tpu.modellib import mittelmann_dist_control
+    from ipopt_tpu.sparse import canonicalize_sparse
     from ipopt_tpu.algorithm.solver import solve
 
-    cnlp = canonicalize_chained(mittelmann_bndry_control(N, example=1), opts)
-    r, dt = _steady_resolve(cnlp, opts, solve)
+    bopts = opts.replace(linear_solver="banded-bcr")
+    t0 = time.perf_counter()
+    cnlp = canonicalize_sparse(mittelmann_dist_control(N), bopts)
+    t_sym = time.perf_counter() - t0
+    r, dt = _steady_resolve(cnlp, bopts, solve)
     iters = max(int(r.iter_count), 1)
-    ch = cnlp.chain
+    info = cnlp.chain
     return {
-        "N": N, "n": (N + 2) * (N + 2), "status": int(r.status),
+        "N": N, "n": info.n, "status": int(r.status),
         "iters": iters,
         "ms_per_iter": round(dt / iters * 1e3, 3),
         "wall_s": round(dt, 3),
-        "obj": float(r.obj), "nb": ch.K + 1, "block": ch.bs,
+        "obj": float(r.obj), "nb": info.nb, "block": info.b,
+        "symbolic_s": round(t_sym, 2),
     }
 
 

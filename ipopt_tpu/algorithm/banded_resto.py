@@ -66,10 +66,12 @@ def build_resto_banded(orig: CanonicalNLP, opts: Options) -> CanonicalNLP:
     def widen_bool(v, flag):
         return jnp.concatenate([v, jnp.full((2 * m,), flag, bool)])
 
+    resto_aux = (orig.aux_arrays.get("resto", ())
+                 if isinstance(orig.aux_arrays, dict) else ())
     return CanonicalNLP(
         struct=struct, f=f_flat, g=g_flat,
         params={"orig": orig.params, "resto": None},  # filled at call time
-        chain=rinfo,
+        chain=rinfo, aux_arrays=resto_aux,
         x_L=widen(orig.x_L, 0.0), x_U=widen(orig.x_U, 0.0),
         d_L=orig.d_L, d_U=orig.d_U,  # already in the scaled space
         has_xL=widen_bool(orig.has_xL, True),

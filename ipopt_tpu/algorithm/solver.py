@@ -559,6 +559,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     if enable_resto and nlp.struct.me + nlp.struct.mi == 0:
         enable_resto = False
     from .step import _backend
+    if not opts.resto_phase:
+        enable_resto = False
     if enable_resto and _backend(nlp) == "banded" and getattr(
             nlp.chain, "_resto_info", None) is None:
         # a hand-built banded CanonicalNLP without the resto symbolic

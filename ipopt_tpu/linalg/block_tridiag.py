@@ -124,20 +124,47 @@ def batched_block_ldlt(A, use_pallas: bool = False):
     return _vfactor_jnp(A)
 
 
+def _tri_unit_inv_logdepth(L):
+    """Inverse of (batched) unit-lower-triangular L via the nilpotent product
+    formula: with L = I + S (S strictly lower, nilpotent), inv(L) =
+    sum_i (-S)^i = prod_k (I + T^(2^k)), T = -S — ceil(log2 b) batched
+    matmuls.  On TPU this runs on the MXU; a batched triangular solve lowers
+    to sequential substitutions and was the dominant cost of the r1 profile
+    (45 ms/iter on LuksanVlcek1 n=4096)."""
+    import numpy as _np
+    b = L.shape[-1]
+    eye = jnp.eye(b, dtype=L.dtype)
+    T = eye - L      # = -S, strictly lower triangular
+    acc = eye + T
+    steps = max(int(_np.ceil(_np.log2(max(b, 2)))), 1)
+    for _ in range(steps - 1):
+        T = jnp.einsum("...ij,...jk->...ik", T, T)
+        acc = jnp.einsum("...ij,...jk->...ik", acc, eye + T)
+    return acc
+
+
 def batched_block_ldlt_inv(A, use_pallas: bool = False):
     """(nb, b, b) -> (d, Ainv): pivots (for inertia) + explicit inverses.
 
-    TPU path: Pallas factor kernel (VMEM-resident elimination) + one batched
-    triangular-solve pair against I for the inverse.  (A fused Gauss-Jordan
-    kernel producing pivots+inverse in one sweep exists in pallas_ldlt.py but
-    its Mosaic compile time degrades badly for large unaligned b; revisit.)
-    """
-    if use_pallas and jax.default_backend() == "tpu":
+    TPU path: Pallas factor kernel (VMEM-resident elimination) + log-depth
+    matmul inversion of the unit-triangular factor (MXU), so no sequential
+    triangular substitutions appear anywhere in the factorization.  CPU keeps
+    the substitution solve (also avoids this image's lapack-FFI bug, see
+    ldlt.tri_solve_unit_lower)."""
+    if jax.default_backend() == "cpu":
+        L, d = _vfactor_jnp(A)
+        eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+        Ainv = _vsolve(L, d, eye)
+        return d, Ainv
+    if use_pallas:
         L, d = _vfactor_pallas(A)
     else:
         L, d = _vfactor_jnp(A)
-    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
-    Ainv = _vsolve(L, d, eye)
+    Li = _tri_unit_inv_logdepth(L)
+    tiny = jnp.finfo(A.dtype).tiny
+    safe_d = jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
+    # A^{-1} = L^{-T} D^{-1} L^{-1}
+    Ainv = jnp.einsum("...ki,...kj->...ij", Li, Li / safe_d[..., None])
     return d, Ainv
 
 

@@ -505,6 +505,12 @@ class Options:
     kkt_block_size: int = _opt(128, "TPU", "Block size for blocked/Pallas factorizations.", 8)
     use_pallas: bool = _opt(True, "TPU", "Use Pallas kernels where available "
                             "(auto-disabled off-TPU).")
+    resto_phase: bool = _opt(True, "TPU", "Trace the restoration-phase "
+                             "fallback into the program.  Disabling halves "
+                             "compile size/time for huge structured problems "
+                             "whose feasible path never needs restoration "
+                             "(line-search failure then reports "
+                             "RESTORATION_FAILURE, as when resto fails).")
 
     # ------------------------------------------------------------------
     def __post_init__(self):

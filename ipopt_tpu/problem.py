@@ -137,6 +137,11 @@ class CanonicalNLP(NamedTuple):
     # static: chained-structure descriptor (ipopt_tpu.chained.ChainInfo) for
     # the block-tridiagonal KKT backend; None selects the dense backend
     chain: Any = None
+    # backend auxiliary ARRAY data (pytree leaves — jit arguments, not
+    # trace-time constants): the banded backend's scatter indices/colorings
+    # live here so million-entry index arrays don't get baked into the HLO
+    # (the remote-compile relay rejects oversized modules).
+    aux_arrays: Any = ()
 
     # -- convenience -------------------------------------------------------
     @property

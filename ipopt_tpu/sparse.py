@@ -364,6 +364,41 @@ def analyze_sparsity(n: int, mi: int, me: int,
 # Canonicalization entry point
 # ---------------------------------------------------------------------------
 
+def _aux_from_info(info: "BandedInfo"):
+    """Device-array copies of the symbolic-analysis index data.  These ride
+    on CanonicalNLP.aux_arrays (pytree LEAVES), so at n = 1e6 scale the
+    multi-million-entry scatter indices are jit *arguments* instead of HLO
+    constants (the remote-compile relay rejects oversized modules)."""
+    aux = {
+        "tgt_is_sub": jnp.asarray(info.tgt_is_sub),
+        "tgt_blk": jnp.asarray(info.tgt_blk),
+        "tgt_r": jnp.asarray(info.tgt_r),
+        "tgt_c": jnp.asarray(info.tgt_c),
+        "j_rows": jnp.asarray(info.j_rows),
+        "j_cols": jnp.asarray(info.j_cols),
+        "j_colors": jnp.asarray(info.j_colors),
+        "h_rows": jnp.asarray(info.h_rows),
+        "h_cols": jnp.asarray(info.h_cols),
+        "h_colors": jnp.asarray(info.h_colors),
+        "perm": jnp.asarray(info.perm),
+    }
+    if info._j_mirror_mask is not None:
+        aux["j_mirror"] = jnp.asarray(info._j_mirror_mask)
+    if info._s_mirror_mask is not None:
+        aux["s_mirror"] = jnp.asarray(info._s_mirror_mask)
+    if info._h_keep_mask is not None:
+        aux["h_keep"] = jnp.asarray(info._h_keep_mask)
+    return aux
+
+
+def _ax(nlp: CanonicalNLP, key: str, np_fallback):
+    """aux_arrays lookup with np fallback (hand-built CanonicalNLPs)."""
+    aux = nlp.aux_arrays
+    if isinstance(aux, dict) and key in aux:
+        return aux[key]
+    return jnp.asarray(np_fallback)
+
+
 def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
                         ) -> CanonicalNLP:
     """Canonicalize a flat NLP for the banded-BCR backend.
@@ -468,7 +503,9 @@ def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
                                   j_colors=jc_resto)
     object.__setattr__(info, "_resto_info", resto_info)
 
-    base = base._replace(chain=info)
+    base = base._replace(chain=info,
+                         aux_arrays={**_aux_from_info(info),
+                                     "resto": _aux_from_info(resto_info)})
     if opts.nlp_scaling_method == "gradient-based":
         base = _sparse_gradient_scaling(base, opts)
     return base
@@ -517,7 +554,7 @@ def compressed_jacobian_raw(nlp: CanonicalNLP, x):
     color column j_colors[j]; coloring guarantees no collisions."""
     info: BandedInfo = nlp.chain
     dtype = x.dtype
-    seeds = (jnp.asarray(info.j_colors)[None, :]
+    seeds = (_ax(nlp, "j_colors", info.j_colors)[None, :]
              == jnp.arange(info.n_colors_j)[:, None]).astype(dtype)
 
     def jvp_one(sv):
@@ -542,9 +579,9 @@ def jacobian_values(nlp: CanonicalNLP, x):
     info: BandedInfo = nlp.chain
     Jcomp = compressed_jacobian_raw(nlp, x)
     rs = _row_scale(nlp)
-    r = jnp.asarray(info.j_rows)
-    c = jnp.asarray(info.j_cols)
-    return Jcomp[r, jnp.asarray(info.j_colors)[c]] * rs[r]
+    r = _ax(nlp, "j_rows", info.j_rows)
+    c = _ax(nlp, "j_cols", info.j_cols)
+    return Jcomp[r, _ax(nlp, "j_colors", info.j_colors)[c]] * rs[r]
 
 
 def sparse_hessian_values(nlp: CanonicalNLP, it):
@@ -555,7 +592,7 @@ def sparse_hessian_values(nlp: CanonicalNLP, it):
     info: BandedInfo = nlp.chain
     x, y_c, y_d = it.x, it.y_c, it.y_d
     dtype = x.dtype
-    seeds = (jnp.asarray(info.h_colors)[None, :]
+    seeds = (_ax(nlp, "h_colors", info.h_colors)[None, :]
              == jnp.arange(info.n_colors_h)[:, None]).astype(dtype)
 
     def lag(xx):
@@ -572,9 +609,9 @@ def sparse_hessian_values(nlp: CanonicalNLP, it):
         return jax.jvp(glag, (x,), (sv,))[1]
 
     Hcomp = jax.vmap(hvp_one)(seeds).T  # (n, ncH)
-    r = jnp.asarray(info.h_rows)
-    c = jnp.asarray(info.h_cols)
-    return Hcomp[r, jnp.asarray(info.h_colors)[c]]
+    r = _ax(nlp, "h_rows", info.h_rows)
+    c = _ax(nlp, "h_cols", info.h_cols)
+    return Hcomp[r, _ax(nlp, "h_colors", info.h_colors)[c]]
 
 
 # ---------------------------------------------------------------------------
@@ -591,26 +628,29 @@ def assemble_banded(nlp: CanonicalNLP, it, j_vals, h_vals, delta_x, delta_c):
 
     vals = []
     if len(info.h_rows):
-        vals.append(jnp.where(jnp.asarray(info._h_keep_mask), h_vals, 0.0))
+        vals.append(jnp.where(_ax(nlp, "h_keep", info._h_keep_mask),
+                              h_vals, 0.0))
     if len(info.j_rows):
         vals.append(j_vals)
         # mirrored in-block entries (zeroed where the entry was a coupling)
-        vals.append(jnp.where(jnp.asarray(info._j_mirror_mask), j_vals, 0.0))
+        vals.append(jnp.where(_ax(nlp, "j_mirror", info._j_mirror_mask),
+                              j_vals, 0.0))
     vals.append(sig.sigma_x + delta_x)
     if info.mi:
         vals.append(sig.sigma_s + delta_x)
         mones = -jnp.ones((info.mi,), dtype)
         vals.append(mones)
-        vals.append(jnp.where(jnp.asarray(info._s_mirror_mask), mones, 0.0))
+        vals.append(jnp.where(_ax(nlp, "s_mirror", info._s_mirror_mask),
+                              mones, 0.0))
     vals.append(jnp.broadcast_to(-delta_c, (info.me + info.mi,)))
     if info.n_pad:
         vals.append(jnp.ones((info.n_pad,), dtype))
     v = jnp.concatenate([jnp.asarray(x, dtype).reshape(-1) for x in vals])
 
-    is_sub = jnp.asarray(info.tgt_is_sub)
-    blk = jnp.asarray(info.tgt_blk)
-    r = jnp.asarray(info.tgt_r)
-    c = jnp.asarray(info.tgt_c)
+    is_sub = _ax(nlp, "tgt_is_sub", info.tgt_is_sub)
+    blk = _ax(nlp, "tgt_blk", info.tgt_blk)
+    r = _ax(nlp, "tgt_r", info.tgt_r)
+    c = _ax(nlp, "tgt_c", info.tgt_c)
     diag = jnp.zeros((info.nb, info.b, info.b), dtype)
     sub = jnp.zeros((info.nb, info.b, info.b), dtype)
     diag = diag.at[blk, r, c].add(jnp.where(is_sub, 0.0, v))
@@ -710,7 +750,7 @@ def pack_rhs_banded(nlp: CanonicalNLP, r_x, r_s, r_c, r_d):
     info: BandedInfo = nlp.chain
     dtype = r_x.dtype
     rhs = jnp.concatenate([r_x, r_s, r_c, r_d])
-    rhs_p = rhs[jnp.asarray(info.perm)]
+    rhs_p = rhs[_ax(nlp, "perm", info.perm)]
     if info.n_pad:
         rhs_p = jnp.concatenate([rhs_p, jnp.zeros((info.n_pad,), dtype)])
     return rhs_p
@@ -720,7 +760,7 @@ def unpack_sol_banded(nlp: CanonicalNLP, sol):
     info: BandedInfo = nlp.chain
     n, mi, me = info.n, info.mi, info.me
     sol_orig = jnp.zeros((info.N,), sol.dtype).at[
-        jnp.asarray(info.perm)].set(sol[:info.N])
+        _ax(nlp, "perm", info.perm)].set(sol[:info.N])
     dx = sol_orig[:n]
     ds = sol_orig[n:n + mi]
     dy_c = sol_orig[n + mi:n + mi + me]
