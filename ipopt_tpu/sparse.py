@@ -473,6 +473,12 @@ def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
     # couplings into the slack columns and a full x-diagonal for the
     # proximity term — all static, so the nested resto IPM can run on the
     # banded backend too (IpRestoMinC_1Nrm is solver-agnostic).
+    if not opts.resto_phase:
+        object.__setattr__(info, "_resto_info", None)
+        base = base._replace(chain=info, aux_arrays=_aux_from_info(info))
+        if opts.nlp_scaling_method == "gradient-based":
+            base = _sparse_gradient_scaling(base, opts)
+        return base
     nr = n + 2 * m
     jr_rows = [j_rows]
     jr_cols = [j_cols]
