@@ -226,7 +226,7 @@ def analyze_sparsity(n: int, mi: int, me: int,
                      j_rows, j_cols, eq_mask,
                      h_rows, h_cols,
                      min_block: int = 8,
-                     block_align: int = 4,
+                     block_align: int = 8,
                      j_colors=None, h_colors=None) -> BandedInfo:
     """The symbolic phase: pattern -> RCM -> block size -> scatter targets."""
     import scipy.sparse as sp
