@@ -246,7 +246,9 @@ def _phase_mittelmann(opts, N=100):
     from ipopt_tpu.sparse import canonicalize_sparse
     from ipopt_tpu.algorithm.solver import solve
 
-    bopts = opts.replace(linear_solver="banded-bcr")
+    # resto_phase=False: the feasible path never needs restoration and the
+    # widened resto program doubles the remote-compile size at N=100
+    bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False)
     t0 = time.perf_counter()
     cnlp = canonicalize_sparse(mittelmann_dist_control(N), bopts)
     t_sym = time.perf_counter() - t0
@@ -279,6 +281,8 @@ def main():
 
     hs = _phase_hs071(opts)
     nlps_per_sec = hs.pop("nlps_per_sec")
+    print(f"[bench] hs071 headline: {nlps_per_sec:.0f} NLPs/s "
+          f"({json.dumps(hs)})", file=sys.stderr, flush=True)
 
     detail = {"dtype": dtype_str, "backend": jax.default_backend(), **hs}
 
@@ -287,18 +291,26 @@ def main():
         phases = [
             ("lv1_chained_4096", lambda: _phase_lv1_chained(opts), 300),
             ("lv1_banded_1e5", lambda: _phase_lv1_banded(opts, 100_000), 400),
-            ("mittelmann_N100", lambda: _phase_mittelmann(opts, 100), 400),
             ("lv1_banded_1e6", lambda: _phase_lv1_banded(opts, 1_000_000),
              600),
+            ("mittelmann_N100", lambda: _phase_mittelmann(opts, 100), 900),
         ]
     for name, fn, min_budget in phases:
         if _left() < min_budget:
             detail[name] = {"skipped": f"budget ({int(_left())}s left)"}
+            print(f"[bench] {name}: skipped (budget)", file=sys.stderr,
+                  flush=True)
             continue
         try:
+            t0 = time.perf_counter()
             detail[name] = fn()
+            print(f"[bench] {name}: {json.dumps(detail[name])} "
+                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
+                  flush=True)
         except Exception as e:  # keep the headline metric alive regardless
             detail[name] = {"error": repr(e)[:200]}
+            print(f"[bench] {name}: ERROR {repr(e)[:160]}", file=sys.stderr,
+                  flush=True)
 
     baseline = (hs.get("scipy_slsqp_nlps_per_sec")
                 or hs.get("sequential_nlps_per_sec") or 1.0)
