@@ -160,11 +160,26 @@ def batched_block_ldlt_inv(A, use_pallas: bool = False):
         L, d = _vfactor_pallas(A)
     else:
         L, d = _vfactor_jnp(A)
-    Li = _tri_unit_inv_logdepth(L)
-    tiny = jnp.finfo(A.dtype).tiny
-    safe_d = jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
-    # A^{-1} = L^{-T} D^{-1} L^{-1}
-    Ainv = jnp.einsum("...ki,...kj->...ij", Li, Li / safe_d[..., None])
+    b = A.shape[-1]
+    if b <= 64:
+        # small blocks: MXU log-depth inversion + one Newton step to recover
+        # the f32 bits the Neumann product loses
+        Li = _tri_unit_inv_logdepth(L)
+        tiny = jnp.finfo(A.dtype).tiny
+        safe_d = jnp.where(jnp.abs(d) > tiny, d,
+                           jnp.where(d >= 0, tiny, -tiny))
+        # A^{-1} = L^{-T} D^{-1} L^{-1}
+        Ainv = jnp.einsum("...ki,...kj->...ij", Li, Li / safe_d[..., None])
+        eye = jnp.eye(b, dtype=A.dtype)
+        Ainv = jnp.einsum("...ij,...jk->...ik", Ainv,
+                          2.0 * eye - jnp.einsum("...ij,...jk->...ik",
+                                                 A, Ainv))
+    else:
+        # large blocks: the triangular condition makes the Neumann product
+        # too lossy in f32 (LuksanVlcek1 b=156 diverged into restoration);
+        # use the native TriangularSolve (no lapack custom call on TPU)
+        eye = jnp.broadcast_to(jnp.eye(b, dtype=A.dtype), A.shape)
+        Ainv = _vsolve(L, d, eye)
     return d, Ainv
 
 
