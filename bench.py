@@ -6,32 +6,27 @@ Headline metric: batched HS071-family NLPs/second (vmapped lockstep IPM)
 vs scipy SLSQP on CPU (reference Ipopt+MA57 cannot be built in this image —
 no HSL/MUMPS, no egress).
 
-Scale metrics (VERDICT r1 items 1-2, BASELINE.md items 3-4):
-- lv1_chained_4096: LuksanVlcek1 via the chained BTD/BCR backend
-  (re-measured with the explicit-inverse BCR), with the kernel-level
-  factorize time and an HBM-roofline fraction.
+Architecture (round 3): every phase runs in a FRESH SUBPROCESS because any
+device->host transfer permanently degrades all later dispatches on the
+tunneled TPU to ~100 ms each (see BASELINE.md "dispatch poison").  Within a
+phase the order is strictly build -> compile/warm -> time -> transfer.
+Each phase has a hard subprocess timeout and the parent always emits the
+final JSON line, whatever the children do.
+
+Scale metrics (BASELINE.md items 3-4, VERDICT r2 next-round item 1):
 - lv1_banded_1e5 / 1e6: LuksanVlcek1 as a flat NLP through the
   general-sparsity banded-BCR backend (declared pattern -> RCM -> BCR).
-- mittelmann_N100: 2-D PDE boundary control (MittelmannBndryCntrlDiri ex1)
-  at N=100 (10404 grid vars) via the chained backend.
+- mittelmann_N100: 2-D PDE distributed control (MittelmannDistCntrlNeumA1)
+  at N=100 via the banded backend.
+- lv1_chained_4096: LuksanVlcek1 via the chained BTD/BCR backend.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-# Persistent compilation cache: TPU compiles go through a remote tunnel here
-# and dominate wall time; cache them across bench runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
+REPO = os.path.dirname(os.path.abspath(__file__))
 T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 
@@ -40,8 +35,31 @@ def _left():
     return BUDGET_S - (time.perf_counter() - T_START)
 
 
-def _hbm_bw_bytes_per_s():
-    """Peak HBM bandwidth of the attached chip (for roofline fractions)."""
+# ---------------------------------------------------------------------------
+# Phase bodies (run inside the child process)
+# ---------------------------------------------------------------------------
+
+def _child_setup():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    from ipopt_tpu.options import Options
+    dtype_str = "float32" if on_tpu else "float64"
+    # Single-precision tolerances mirror the reference's IPOPT_SINGLE build
+    # defaults (tol 1e-5, IpIpoptData.cpp:27-38).
+    tol = 1e-5 if dtype_str == "float32" else 1e-8
+    opts = Options(dtype=dtype_str, tol=tol, print_level=0,
+                   acceptable_tol=1e-4 if dtype_str == "float32" else 1e-6,
+                   acceptable_iter=10)
+    return jax, opts, dtype_str
+
+
+def _hbm_bw_bytes_per_s(jax):
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:
@@ -56,14 +74,15 @@ def _hbm_bw_bytes_per_s():
 
 
 def _bcr_traffic_bytes(nb, b, dtype_bytes=4):
-    """Estimated HBM traffic of one BCR factorization: per level the kernel
-    reads the (compacted) diag+sub arrays and writes Ainv/Gl/Gr plus the
-    updated kept arrays; summed over the geometrically-shrinking levels this
-    is ~ (2 reads + 5 writes) * 2nb * b^2 words."""
+    """Estimated HBM traffic of one BCR factorization (~9 passes over the
+    2x(nb, b, b) arrays across the geometric levels)."""
     return 9.0 * 2.0 * nb * b * b * dtype_bytes
 
 
-def _phase_hs071(opts, B=512):
+def phase_hs071(B=512):
+    import numpy as np
+    jax, opts, dtype_str = _child_setup()
+    import jax.numpy as jnp
     from ipopt_tpu.batch import stack_problems, _solve_batched_jit
     from ipopt_tpu.problem import NLP
 
@@ -79,18 +98,20 @@ def _phase_hs071(opts, B=512):
             x0=jnp.array([1.0, 5.0, 5.0, 1.0]))
 
     nlp_b = stack_problems([family(0.005 * i) for i in range(B)], opts)
-    res = _solve_batched_jit(nlp_b, opts)  # compile + run
+    nlp_1 = jax.tree.map(lambda x: x[:1], nlp_b)
+
+    # ---- compile + warm (NO device->host transfers before timing) ----
+    res = _solve_batched_jit(nlp_b, opts)
     jax.block_until_ready(res.x)
+    r1 = _solve_batched_jit(nlp_1, opts)
+    jax.block_until_ready(r1.x)
+
+    # ---- time ----
     t0 = time.perf_counter()
     res = _solve_batched_jit(nlp_b, opts)
     jax.block_until_ready(res.x)
     dt_batched = time.perf_counter() - t0
-    n_ok = int(np.sum(np.asarray(res.status) == 0))
 
-    # sequential on the same device
-    nlp_1 = jax.tree.map(lambda x: x[:1], nlp_b)
-    r1 = _solve_batched_jit(nlp_1, opts)
-    jax.block_until_ready(r1.x)
     reps = 8
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -98,7 +119,10 @@ def _phase_hs071(opts, B=512):
         jax.block_until_ready(r1.x)
     dt_seq = (time.perf_counter() - t0) / reps
 
-    # external CPU baseline: scipy SLSQP
+    # ---- transfers allowed from here on ----
+    n_ok = int(np.sum(np.asarray(res.status) == 0))
+    iters_med = int(np.median(np.asarray(res.iter_count)))
+
     slsqp_per_sec = None
     try:
         from scipy.optimize import minimize, NonlinearConstraint
@@ -122,196 +146,213 @@ def _phase_hs071(opts, B=512):
         pass
 
     return {
-        "nlps_per_sec": B / dt_batched,
+        "nlps_per_sec": round(B / dt_batched, 2),
         "batch": B, "converged": n_ok,
         "batched_wall_s": round(dt_batched, 4),
         "sequential_nlps_per_sec": round(1.0 / dt_seq, 2),
         "scipy_slsqp_nlps_per_sec":
             round(slsqp_per_sec, 2) if slsqp_per_sec else None,
-        "iters_med": int(np.median(np.asarray(res.iter_count))),
+        "iters_med": iters_med,
+        "dtype": dtype_str,
     }
 
 
-def _steady_resolve(cnlp, opts, solve):
-    """(status, iters, steady wall) of a cached re-solve."""
-    r = solve(cnlp, opts)
-    jax.block_until_ready(r.x)
-    t0 = time.perf_counter()
-    r = solve(cnlp, opts)
-    jax.block_until_ready(r.x)
-    return r, time.perf_counter() - t0
-
-
-def _phase_lv1_chained(opts, n=4096, v=32):
-    """Re-measure the chained path post explicit-inverse BCR (VERDICT #2),
-    plus the isolated factorize kernel + HBM roofline fraction."""
-    from ipopt_tpu.modellib import luksan_vlcek1
-    from ipopt_tpu.chained import canonicalize_chained, stage_jacobians
-    from ipopt_tpu.algorithm.solver import solve
-    from ipopt_tpu.algorithm.chained_kkt import chained_factorize_kkt
-    from ipopt_tpu.algorithm.step import compute_hessian
-
-    cnlp = canonicalize_chained(luksan_vlcek1(n, v), opts)
-    r, dt = _steady_resolve(cnlp, opts, solve)
-    iters = max(int(r.iter_count), 1)
-
-    # isolated kernel: assemble+factorize at the final iterate
-    it = r.iterate
-    mu = jnp.asarray(np.asarray(r.mu))
-
-    def _fact(it, mu, dwl):
-        AB = stage_jacobians(cnlp, it.x)
-        W = compute_hessian(cnlp, it)
-        return chained_factorize_kkt(cnlp, opts, it, AB, W, mu, dwl)
-
-    fact_j = jax.jit(_fact)
-    dwl = jnp.zeros((), it.x.dtype)
-    out = fact_j(it, mu, dwl)
-    jax.block_until_ready(out.delta_x)
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fact_j(it, mu, dwl)
-        jax.block_until_ready(out.delta_x)
-    dt_fact = (time.perf_counter() - t0) / reps
-
-    ch = cnlp.chain
-    nb, b = ch.K + 1, ch.bs
-    frac = _bcr_traffic_bytes(nb, b) / (dt_fact * _hbm_bw_bytes_per_s())
-    return {
-        "n": n, "v": v, "status": int(r.status), "iters": iters,
-        "ms_per_iter": round(dt / iters * 1e3, 3),
-        "wall_s": round(dt, 3),
-        "fact_ms": round(dt_fact * 1e3, 3),
-        "roofline_frac": round(frac, 3),
-        "nb": nb, "block": b,
-    }
-
-
-def _phase_lv1_banded(opts, n):
-    """LuksanVlcek1 flat through the general-sparsity banded backend.
-
-    resto_phase=False keeps the nested restoration out of the program at the
-    1e5/1e6 scale (LV1's path never triggers it; tracing it would double the
-    remote-compile size) — the measured hot path is unchanged."""
-    from ipopt_tpu.modellib import luksan_vlcek1_flat
-    from ipopt_tpu.sparse import (canonicalize_sparse, banded_factorize_kkt,
-                                  sparse_hessian_values)
+def _scale_phase(make_cnlp):
+    """Common body for the banded/chained scale phases: canonicalize, warm,
+    time the steady re-solve and the isolated factorize kernel, then (only
+    then) transfer statuses."""
+    import numpy as np
+    jax, opts, dtype_str = _child_setup()
+    import jax.numpy as jnp
     from ipopt_tpu.algorithm.solver import solve
 
-    bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False)
     t0 = time.perf_counter()
-    cnlp = canonicalize_sparse(luksan_vlcek1_flat(n), bopts)
+    cnlp, bopts, fact_builder, shape_info = make_cnlp(opts)
     t_sym = time.perf_counter() - t0
-    r, dt = _steady_resolve(cnlp, bopts, solve)
-    iters = max(int(r.iter_count), 1)
 
-    it = r.iterate
-    mu = jnp.asarray(np.asarray(r.mu))
+    # ---- compile + warm ----
+    r = solve(cnlp, bopts)
+    jax.block_until_ready(r.x)
+    t_warm = time.perf_counter() - t0 - t_sym
 
-    def _fact(it, mu, dwl):
-        hv = sparse_hessian_values(cnlp, it)
-        return banded_factorize_kkt(cnlp, bopts, it, hv, mu, dwl)
+    # ---- time the steady re-solve ----
+    t0 = time.perf_counter()
+    r = solve(cnlp, bopts)
+    jax.block_until_ready(r.x)
+    dt = time.perf_counter() - t0
 
-    fact_j = jax.jit(_fact)
-    dwl = jnp.zeros((), it.x.dtype)
-    out = fact_j(it, mu, dwl)
+    # ---- time the isolated factorize kernel at the solution iterate ----
+    fact_j = jax.jit(fact_builder(cnlp, bopts))
+    out = fact_j(r.iterate, r.mu)
     jax.block_until_ready(out.delta_x)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fact_j(it, mu, dwl)
-        jax.block_until_ready(out.delta_x)
+        out = fact_j(r.iterate, r.mu)
+    jax.block_until_ready(out.delta_x)
     dt_fact = (time.perf_counter() - t0) / reps
 
-    info = cnlp.chain
-    frac = _bcr_traffic_bytes(info.nb, info.b) / (dt_fact
-                                                  * _hbm_bw_bytes_per_s())
-    return {
-        "n": n, "status": int(r.status), "iters": iters,
-        "ms_per_iter": round(dt / iters * 1e3, 3),
-        "wall_s": round(dt, 3),
-        "fact_ms": round(dt_fact * 1e3, 3),
-        "roofline_frac": round(frac, 3),
-        "nb": info.nb, "block": info.b, "symbolic_s": round(t_sym, 2),
-        "colors_j": info.n_colors_j, "colors_h": info.n_colors_h,
-    }
-
-
-def _phase_mittelmann(opts, N=100):
-    """2-D elliptic distributed control at N>=100 through the general-
-    sparsity backend (BASELINE item 4; MittelmannDistCntrlNeumA1 — the
-    reference registry's general-grid-sparsity case)."""
-    from ipopt_tpu.modellib import mittelmann_dist_control
-    from ipopt_tpu.sparse import canonicalize_sparse
-    from ipopt_tpu.algorithm.solver import solve
-
-    # resto_phase=False: the feasible path never needs restoration and the
-    # widened resto program doubles the remote-compile size at N=100
-    bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False)
-    t0 = time.perf_counter()
-    cnlp = canonicalize_sparse(mittelmann_dist_control(N), bopts)
-    t_sym = time.perf_counter() - t0
-    r, dt = _steady_resolve(cnlp, bopts, solve)
+    # ---- transfers allowed from here on ----
     iters = max(int(r.iter_count), 1)
-    info = cnlp.chain
+    nb, b = shape_info
+    frac = _bcr_traffic_bytes(nb, b) / (dt_fact * _hbm_bw_bytes_per_s(jax))
     return {
-        "N": N, "n": info.n, "status": int(r.status),
-        "iters": iters,
+        "status": int(r.status), "iters": iters,
         "ms_per_iter": round(dt / iters * 1e3, 3),
         "wall_s": round(dt, 3),
-        "obj": float(r.obj), "nb": info.nb, "block": info.b,
-        "symbolic_s": round(t_sym, 2),
+        "warm_s": round(t_warm, 1),
+        "fact_ms": round(dt_fact * 1e3, 3),
+        "fact_trials": int(out.num_trials),
+        "roofline_frac": round(frac, 3),
+        "obj": float(r.obj),
+        "nb": nb, "block": b, "symbolic_s": round(t_sym, 2),
+        "dtype": dtype_str,
     }
+
+
+def phase_lv1_banded(n):
+    """LuksanVlcek1 flat through the general-sparsity banded backend.
+
+    resto_phase=False keeps the nested restoration out of the program at
+    this scale (LV1's path never triggers it; tracing it would double the
+    remote-compile size) — the measured hot path is unchanged."""
+    from ipopt_tpu.modellib import luksan_vlcek1_flat
+    from ipopt_tpu.sparse import (canonicalize_sparse, banded_factorize_kkt,
+                                  sparse_hessian_values)
+    import jax.numpy as jnp
+
+    def make(opts):
+        bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False)
+        cnlp = canonicalize_sparse(luksan_vlcek1_flat(n), bopts)
+
+        def fact_builder(cnlp, bopts):
+            def _fact(it, mu):
+                hv = sparse_hessian_values(cnlp, it)
+                dwl = jnp.zeros((), it.x.dtype)
+                return banded_factorize_kkt(cnlp, bopts, it, hv, mu, dwl)
+            return _fact
+
+        return cnlp, bopts, fact_builder, (cnlp.chain.nb, cnlp.chain.b)
+
+    out = _scale_phase(make)
+    out["n"] = n
+    return out
+
+
+def phase_mittelmann(N=100):
+    """2-D elliptic distributed control at N=100 through the general-
+    sparsity backend (MittelmannDistCntrlNeumA1 — the reference registry's
+    general-grid-sparsity case)."""
+    from ipopt_tpu.modellib import mittelmann_dist_control
+    from ipopt_tpu.sparse import (canonicalize_sparse, banded_factorize_kkt,
+                                  sparse_hessian_values)
+    import jax.numpy as jnp
+
+    def make(opts):
+        bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False)
+        cnlp = canonicalize_sparse(mittelmann_dist_control(N), bopts)
+
+        def fact_builder(cnlp, bopts):
+            def _fact(it, mu):
+                hv = sparse_hessian_values(cnlp, it)
+                dwl = jnp.zeros((), it.x.dtype)
+                return banded_factorize_kkt(cnlp, bopts, it, hv, mu, dwl)
+            return _fact
+
+        return cnlp, bopts, fact_builder, (cnlp.chain.nb, cnlp.chain.b)
+
+    out = _scale_phase(make)
+    out["N"] = N
+    return out
+
+
+def phase_lv1_chained(n=4096, v=32):
+    from ipopt_tpu.modellib import luksan_vlcek1
+    from ipopt_tpu.chained import canonicalize_chained, stage_jacobians
+    from ipopt_tpu.algorithm.chained_kkt import chained_factorize_kkt
+    from ipopt_tpu.algorithm.step import compute_hessian
+    import jax.numpy as jnp
+
+    def make(opts):
+        cnlp = canonicalize_chained(luksan_vlcek1(n, v), opts)
+
+        def fact_builder(cnlp, opts):
+            def _fact(it, mu):
+                AB = stage_jacobians(cnlp, it.x)
+                W = compute_hessian(cnlp, it)
+                dwl = jnp.zeros((), it.x.dtype)
+                return chained_factorize_kkt(cnlp, opts, it, AB, W, mu, dwl)
+            return _fact
+
+        ch = cnlp.chain
+        return cnlp, opts, fact_builder, (ch.K + 1, ch.bs)
+
+    out = _scale_phase(make)
+    out["n"] = n
+    out["v"] = v
+    return out
+
+
+PHASES = {
+    "hs071": (phase_hs071, 1500),
+    "lv1_banded_1e5": (lambda: phase_lv1_banded(100_000), 900),
+    "lv1_banded_1e6": (lambda: phase_lv1_banded(1_000_000), 1500),
+    "mittelmann_N100": (phase_mittelmann, 900),
+    "lv1_chained_4096": (phase_lv1_chained, 600),
+}
+
+# hs071 first (headline), then the two phases that r2 never recorded
+PHASE_ORDER = ["hs071", "lv1_banded_1e5", "lv1_banded_1e6",
+               "mittelmann_N100", "lv1_chained_4096"]
+
+
+def _run_child(name):
+    fn, _ = PHASES[name]
+    try:
+        out = fn()
+        print("@@RESULT@@" + json.dumps(out), flush=True)
+    except Exception as e:
+        print("@@RESULT@@" + json.dumps({"error": repr(e)[:300]}), flush=True)
 
 
 def main():
-    from ipopt_tpu.options import Options
+    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
+        _run_child(sys.argv[2])
+        return
 
-    on_tpu = jax.default_backend() != "cpu"
-    dtype_str = "float32" if on_tpu else "float64"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
-    # Single-precision tolerances mirror the reference's IPOPT_SINGLE build
-    # defaults (tol 1e-5, IpIpoptData.cpp:27-38).
-    tol = 1e-5 if dtype_str == "float32" else 1e-8
-    opts = Options(dtype=dtype_str, tol=tol, print_level=0,
-                   acceptable_tol=1e-4 if dtype_str == "float32" else 1e-6,
-                   acceptable_iter=10)
-
-    hs = _phase_hs071(opts)
-    nlps_per_sec = hs.pop("nlps_per_sec")
-    print(f"[bench] hs071 headline: {nlps_per_sec:.0f} NLPs/s "
-          f"({json.dumps(hs)})", file=sys.stderr, flush=True)
-
-    detail = {"dtype": dtype_str, "backend": jax.default_backend(), **hs}
-
-    phases = []
-    if not os.environ.get("BENCH_SKIP_LV1"):
-        phases = [
-            ("lv1_chained_4096", lambda: _phase_lv1_chained(opts), 300),
-            ("lv1_banded_1e5", lambda: _phase_lv1_banded(opts, 100_000), 400),
-            ("lv1_banded_1e6", lambda: _phase_lv1_banded(opts, 1_000_000),
-             600),
-            ("mittelmann_N100", lambda: _phase_mittelmann(opts, 100), 900),
-        ]
-    for name, fn, min_budget in phases:
-        if _left() < min_budget:
-            detail[name] = {"skipped": f"budget ({int(_left())}s left)"}
+    detail = {}
+    for name in PHASE_ORDER:
+        _, tmo = PHASES[name]
+        left = _left()
+        if left < 60:
+            detail[name] = {"skipped": f"budget ({int(left)}s left)"}
             print(f"[bench] {name}: skipped (budget)", file=sys.stderr,
                   flush=True)
             continue
+        t0 = time.perf_counter()
         try:
-            t0 = time.perf_counter()
-            detail[name] = fn()
-            print(f"[bench] {name}: {json.dumps(detail[name])} "
-                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
-                  flush=True)
-        except Exception as e:  # keep the headline metric alive regardless
-            detail[name] = {"error": repr(e)[:200]}
-            print(f"[bench] {name}: ERROR {repr(e)[:160]}", file=sys.stderr,
-                  flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", name],
+                capture_output=True, text=True,
+                timeout=min(tmo, max(left, 60)), cwd=REPO)
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("@@RESULT@@")]
+            if line:
+                detail[name] = json.loads(line[-1][len("@@RESULT@@"):])
+            else:
+                tail = (proc.stderr or "")[-400:]
+                detail[name] = {"error": f"no result (rc={proc.returncode})",
+                                "stderr_tail": tail}
+        except subprocess.TimeoutExpired:
+            detail[name] = {"error": f"phase timeout ({int(tmo)}s)"}
+        except Exception as e:
+            detail[name] = {"error": repr(e)[:300]}
+        print(f"[bench] {name}: {json.dumps(detail[name])} "
+              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
+              flush=True)
 
+    hs = detail.get("hs071", {})
+    nlps_per_sec = hs.get("nlps_per_sec") or 0.0
     baseline = (hs.get("scipy_slsqp_nlps_per_sec")
                 or hs.get("sequential_nlps_per_sec") or 1.0)
     print(json.dumps({

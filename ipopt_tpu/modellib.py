@@ -250,11 +250,10 @@ def band_sparsity(m: int, n: int, lo_off: int, hi_off: int):
     rows = []
     cols = []
     for off in range(lo_off, hi_off + 1):
-        i = np.arange(max(0, -off), min(m, n - off))
+        i = np.arange(max(0, -off), min(m, n - off), dtype=np.int32)
         rows.append(i)
-        cols.append(i + off)
-    return (np.concatenate(rows).astype(np.int32),
-            np.concatenate(cols).astype(np.int32))
+        cols.append(i + np.int32(off))
+    return np.concatenate(rows), np.concatenate(cols)
 
 
 def luksan_vlcek4(n: int, equality: bool = True) -> NLP:

@@ -331,8 +331,9 @@ class Options:
     fast_step_computation: bool = _opt(False, "Linear Solver", "Trust solves; skip residual checks.")
     mehrotra_probing: bool = _opt(False, "Linear Solver", "internal", )
     ldlt_pivot_tol: float = _opt(0.0, "Linear Solver", "Static-pivot zero threshold (0: dtype eps based).", 0.0)
-    linear_system_scaling: str = _opt("none", "Linear Solver",
-                                      "Equilibration of the KKT matrix (MC19 analog).",
+    linear_system_scaling: str = _opt("mc19", "Linear Solver",
+                                      "Equilibration of the KKT matrix (MC19 analog; "
+                                      "reference default, IpTSymLinearSolver.cpp).",
                                       choices=("none", "mc19"))
 
     # ---- Inertia correction (IpPDPerturbationHandler.cpp) ----

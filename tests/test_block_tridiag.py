@@ -101,3 +101,29 @@ def test_bcr_sharded_over_mesh():
     x = run(diag_s, sub_s, rhs)
     np.testing.assert_allclose(np.asarray(K.matvec(x)), np.asarray(rhs),
                                rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("nb,b,neg", [(5, 8, 2), (13, 8, 4)])
+def test_bcr_equilibrated_solve_and_inertia(nb, b, neg):
+    """mc19-analog Ruiz equilibration: same solution and inertia as the
+    unscaled factorization, on a badly row-scaled quasi-definite matrix."""
+    K = make_btd(nb, b, seed=3 * nb + b, neg_tail=neg)
+    # wreck the scaling: rows/cols spanning 1e-4 .. 1e4
+    rng = np.random.default_rng(9)
+    s = jnp.asarray(10.0 ** rng.uniform(-4, 4, (nb, b)))
+    diag = K.diag * s[:, :, None] * s[:, None, :]
+    sn = jnp.concatenate([s[1:], jnp.ones((1, b))], axis=0)
+    sub = K.sub * sn[:, :, None] * s[:, None, :]
+    Ks = BTDMatrix(diag=diag, sub=sub)
+
+    fac = bcr_factorize(Ks, equilibrate=True)
+    Kd = np.asarray(Ks.to_dense())
+    evals = np.linalg.eigvalsh(Kd)
+    assert int(fac.num_pos) == int(np.sum(evals > 0))
+    assert int(fac.num_neg) == int(np.sum(evals < 0))
+    assert not bool(fac.singular)
+
+    rhs = jnp.asarray(np.random.default_rng(4).standard_normal(nb * b))
+    x = bcr_solve(fac, rhs)
+    x_ref = np.linalg.solve(Kd, np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-7, atol=1e-7)
