@@ -170,7 +170,6 @@ def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
     def factor(delta_x, delta_c):
         Kbtd = assemble_btd(nlp, it, AB, Wblocks, delta_x, delta_c)
         fac = bcr_factorize(Kbtd, pivot_tol=opts.ldlt_pivot_tol,
-                            use_pallas=opts.use_pallas,
                             equilibrate=opts.linear_system_scaling == "mc19")
         ok = jnp.logical_and(
             jnp.logical_and(fac.num_pos == exp_pos, fac.num_neg == exp_neg),

@@ -122,7 +122,6 @@ def _base_factor(nlp: CanonicalNLP, opts: Options, it: Iterate, sigma):
         def factor(dxv, dcv):
             Kb = assemble_btd(nlp, it, AB, (Wd, Wo), dxv, dcv)
             fac = bcr_factorize(Kb, pivot_tol=opts.ldlt_pivot_tol,
-                                use_pallas=opts.use_pallas,
                                 equilibrate=opts.linear_system_scaling
                                 == "mc19")
             ok = jnp.logical_and(
@@ -171,7 +170,6 @@ def _base_factor(nlp: CanonicalNLP, opts: Options, it: Iterate, sigma):
         def factor(dxv, dcv):
             Kb = assemble_banded(nlp, it, j_vals, h_vals, dxv, dcv)
             fac = bcr_factorize(Kb, pivot_tol=opts.ldlt_pivot_tol,
-                                use_pallas=opts.use_pallas,
                                 equilibrate=opts.linear_system_scaling
                                 == "mc19")
             ok = jnp.logical_and(

@@ -54,7 +54,9 @@ def _sym_ruiz_scale(K, sweeps: int = 2):
     d = jnp.ones((K.shape[0],), K.dtype)
     for _ in range(sweeps):
         Ks = K * d[:, None] * d[None, :]
-        rn = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(Ks), axis=1), 1e-30))
+        # initial= keeps zero-variable (empty K) systems well-defined
+        rn = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(Ks), axis=1, initial=0.0),
+                                  1e-30))
         d = d / rn
     return jnp.clip(d, 1e-8, 1e8)
 

@@ -362,7 +362,6 @@ def btd_apply_scale(K: BTDMatrix, d) -> BTDMatrix:
 
 
 def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
-                  use_pallas: bool = False,
                   equilibrate: bool = False) -> BCRFactor:
     nb, b = K.nb, K.b
     dtype = K.diag.dtype

@@ -168,11 +168,11 @@ class BandedInfo:
     #   [h_vals | j_vals | j_vals(T) | sig_x | sig_s | (-1) couplings x2 |
     #    y diag (-delta_c) | pad (+1)]
     n_pad: int = 0
-    # assembly indices: asm_slot (n_vals,) flat slot id per value entry
-    # (slot = is_sub*nb*b*b + blk*b*b + r*b + c) for the scatter-add form;
-    # asm_src (n_unique, Kdup) value indices per occupied slot (padded with
-    # n_vals -> reads an appended 0) and asm_inv (2*nb*b*b,) slot ->
-    # occupied-slot index (padded with n_unique) for the gather form.
+    # gather-form assembly indices: asm_src (n_unique, Kdup) value indices
+    # per occupied slot (padded with n_vals -> reads an appended 0) and
+    # asm_inv (2*nb*b*b,) slot -> occupied-slot index (padded with n_unique);
+    # slot = is_sub*nb*b*b + blk*b*b + r*b + c.  asm_slot is the host-side
+    # per-value slot list (kept for tests/debugging; never uploaded).
     asm_slot: np.ndarray = None
     asm_src: np.ndarray = None
     asm_inv: np.ndarray = None
@@ -305,7 +305,15 @@ def analyze_sparsity(n: int, mi: int, me: int,
     # arrays: this host is page-fault-bound (~200 MB/s first touch), so
     # symbolic time at n=1e6 is dominated by allocation volume, not FLOPs.
     bb = b * b
-    sdt = _I32 if 2 * nb * bb < 2**31 else np.int64
+    if 2 * nb * bb >= 2**31:
+        # the dense block arrays themselves would exceed 8 GB and the int32
+        # slot/gather indices would wrap — refuse loudly instead of silently
+        # dropping wrapped entries in assembly
+        raise ValueError(
+            f"banded backend block storage too large: 2*nb*b^2 = {2 * nb * bb}"
+            f" >= 2^31 (nb={nb}, b={b}); the RCM bandwidth is too wide for "
+            f"this problem — use the arrow/chain backend or nested dissection")
+    sdt = _I32
     segs = []
 
     def _slot(is_sub, blk, r, c):
@@ -422,7 +430,6 @@ def _aux_from_info(info: "BandedInfo"):
     multi-million-entry scatter indices are jit *arguments* instead of HLO
     constants (the remote-compile relay rejects oversized modules)."""
     aux = {
-        "asm_slot": jnp.asarray(info.asm_slot),
         "asm_src": jnp.asarray(info.asm_src),
         "asm_inv": jnp.asarray(info.asm_inv),
         "diag_kind": jnp.asarray(info.diag_kind),
@@ -509,28 +516,21 @@ def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
     else:
         hr = np.asarray(hess_pat[0], np.int64)
         hc = np.asarray(hess_pat[1], np.int64)
-        # Already-symmetric declarations (multiset {(r,c)} == {(c,r)}, checked
-        # by an order-invariant mixed hash) skip the scipy symmetrize round
-        # trip, which costs seconds at n = 1e6.
-        def _mix(k):
-            k = (k ^ (k >> 30)) * np.int64(-4658895280553007687)
-            k = (k ^ (k >> 27)) * np.int64(-7723592293110705685)
-            return k ^ (k >> 31)
-        with np.errstate(over="ignore"):
-            sym = (len(hr) == len(hc)
-                   and int(np.sum(_mix(hr * n + hc)))
-                   == int(np.sum(_mix(hc * n + hr))))
-        if sym:
-            h_rows = np.asarray(hr, np.int32)
-            h_cols = np.asarray(hc, np.int32)
+        # Exact dedup + symmetry test on the flat (r*n + c) keys: np.unique is
+        # O(nnz log nnz) int64 sorting (cheap vs the scipy symmetrize round
+        # trip at n = 1e6), removes duplicate declarations (which would
+        # otherwise double-count entries in assembly), and makes the
+        # already-symmetric fast path an exact set comparison.
+        keys = np.unique(hr * n + hc)
+        keys_t = np.unique(hc * n + hr)
+        if keys.size == keys_t.size and np.array_equal(keys, keys_t):
+            h_rows = (keys // n).astype(np.int32)
+            h_cols = (keys % n).astype(np.int32)
         else:
             # symmetrize a triangle declaration into the full pattern
-            import scipy.sparse as sp
-            Hp = sp.coo_matrix((np.ones(len(hr), np.int8), (hr, hc)),
-                               shape=(n, n))
-            Hp = ((Hp + Hp.T) != 0).tocoo()
-            h_rows = Hp.row.astype(np.int32)
-            h_cols = Hp.col.astype(np.int32)
+            full = np.unique(np.concatenate([keys, keys_t]))
+            h_rows = (full // n).astype(np.int32)
+            h_cols = (full % n).astype(np.int32)
 
     # map eq/ineq: eq_mask over user g rows
     eq_mask = np.zeros((m,), bool)
@@ -601,24 +601,27 @@ def _sparse_gradient_scaling(nlp: CanonicalNLP, opts: Options) -> CanonicalNLP:
 
     # One jitted program: eager execution here costs dozens of tunnel
     # compiles/dispatches and dominated the symbolic wall time on TPU.
-    def _scales(x0):
-        gf = nlp.eval_grad_f(x0)
+    # The nlp pytree is a jit ARGUMENT so the million-entry aux index arrays
+    # ride as program inputs, not embedded HLO constants (the remote-compile
+    # relay rejects oversized modules — same rationale as _aux_from_info).
+    def _scales(cn, x0):
+        gf = cn.eval_grad_f(x0)
         gnorm = jnp.max(jnp.abs(gf), initial=0.0)
         df = grad_scale_factor(gnorm, opts,
                                opts.nlp_scaling_obj_target_gradient)
         df = df * opts.obj_scaling_factor
         if s.m:
-            Jcomp = compressed_jacobian_raw(nlp, x0)  # (m, ncJ), raw rows
+            Jcomp = compressed_jacobian_raw(cn, x0)  # (m, ncJ), raw rows
             row_norm = jnp.max(jnp.abs(Jcomp), axis=1, initial=0.0)
             dg = grad_scale_factor(row_norm, opts,
                                    opts.nlp_scaling_constr_target_gradient)
-            c_scale = dg[jnp.asarray(s.eq_idx)] if s.me else nlp.c_scale
-            d_scale = dg[jnp.asarray(s.ineq_idx)] if s.mi else nlp.d_scale
+            c_scale = dg[jnp.asarray(s.eq_idx)] if s.me else cn.c_scale
+            d_scale = dg[jnp.asarray(s.ineq_idx)] if s.mi else cn.d_scale
         else:
-            c_scale, d_scale = nlp.c_scale, nlp.d_scale
+            c_scale, d_scale = cn.c_scale, cn.d_scale
         return df, c_scale, d_scale
 
-    df, c_scale, d_scale = jax.jit(_scales)(x0)
+    df, c_scale, d_scale = jax.jit(_scales)(nlp, x0)
     return nlp._replace(
         obj_scale=jnp.asarray(df, dtype),
         c_scale=c_scale.astype(dtype), d_scale=d_scale.astype(dtype),
@@ -737,9 +740,14 @@ def assemble_banded(nlp: CanonicalNLP, it, j_vals, h_vals, delta_x, delta_c):
         vals.append(jnp.ones((info.n_pad,), dtype))
     v = jnp.concatenate([jnp.asarray(x, dtype).reshape(-1) for x in vals])
 
-    M = 2 * info.nb * info.b * info.b
-    flat = jnp.zeros((M,), dtype).at[_ax(nlp, "asm_slot", info.asm_slot)].add(
-        v, mode="drop")
+    # gather form: duplicates combined by the static (n_unique, Kdup) sum
+    # (asm_src pads with n_vals -> reads the appended zero), then one static
+    # inverse-permutation gather fills the dense block arrays (empty slots
+    # read the appended zero through asm_inv's n_unique padding)
+    v_ext = jnp.concatenate([v, jnp.zeros((1,), dtype)])
+    slot_vals = jnp.sum(v_ext[_ax(nlp, "asm_src", info.asm_src)], axis=1)
+    slot_ext = jnp.concatenate([slot_vals, jnp.zeros((1,), dtype)])
+    flat = slot_ext[_ax(nlp, "asm_inv", info.asm_inv)]
     both = flat.reshape(2, info.nb, info.b, info.b)
     return BTDMatrix(diag=both[0], sub=both[1])
 
@@ -796,7 +804,6 @@ def banded_factorize_kkt(nlp: CanonicalNLP, opts: Options, it, h_vals, mu,
     def factor(dxv, dcv):
         Kb = add_diag_deltas(nlp, K_base, dxv, dcv)
         fac = bcr_factorize(Kb, pivot_tol=opts.ldlt_pivot_tol,
-                            use_pallas=opts.use_pallas,
                             equilibrate=opts.linear_system_scaling == "mc19")
         ok = jnp.logical_and(
             jnp.logical_and(fac.num_pos == exp_pos, fac.num_neg == exp_neg),

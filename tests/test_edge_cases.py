@@ -47,6 +47,21 @@ def test_zero_variables_zero_constraints():
     assert np.asarray(res.x).shape == (0,)
 
 
+def test_zero_variables_mc19_scaling():
+    """linear_system_scaling=mc19 must survive empty/zero-variable systems
+    (r3 regression: the Ruiz scaler reduced over a zero-size axis)."""
+    nlp = NLP(f=lambda x: jnp.sum(x) * 0.0, x0=jnp.zeros(0))
+    res = solve(nlp, print_level=0, linear_system_scaling="mc19")
+    assert int(res.status) == int(SolverReturn.SUCCESS)
+
+    all_fixed = NLP(f=lambda x: jnp.sum(x ** 2), x0=jnp.array([1.5]),
+                    x_L=jnp.array([1.5]), x_U=jnp.array([1.5]))
+    res2 = solve(all_fixed, print_level=0, linear_system_scaling="mc19",
+                 fixed_variable_treatment="make_parameter")
+    assert int(res2.status) in (int(SolverReturn.SUCCESS),
+                                int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+
+
 def test_reoptimize_cycle():
     """ReOptimizeTNLP parity (emptynlp.cpp:680, IpIpoptApplication.cpp:476):
     repeated solves of the same structure reuse the compiled program; warm

@@ -65,9 +65,9 @@ def main():
     dx0 = jnp.asarray(1e-2, jnp.float32)
     asm = jax.jit(lambda j, h: assemble_banded(cnlp, it, j, h, dx0, dx0))
     Kb = asm(j_vals, h_vals)
-    fact_eq = jax.jit(lambda K: bcr_factorize(K, use_pallas=True,
+    fact_eq = jax.jit(lambda K: bcr_factorize(K,
                                               equilibrate=True))
-    fact_ne = jax.jit(lambda K: bcr_factorize(K, use_pallas=True))
+    fact_ne = jax.jit(lambda K: bcr_factorize(K))
     full = jax.jit(lambda it, h, mu, dwl:
                    banded_factorize_kkt(cnlp, opts, it, h, mu, dwl))
     fac = fact_eq(Kb)

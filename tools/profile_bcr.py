@@ -67,7 +67,7 @@ def main():
         diag, sub = synth_btd(nb, b)
         K = BTDMatrix(diag=diag, sub=sub)
 
-        fact = jax.jit(lambda K: bcr_factorize(K, use_pallas=True))
+        fact = jax.jit(lambda K: bcr_factorize(K))
         t_fact = timeit(fact, K)
 
         # per-component at level-0 size (ne = nb // 2)
