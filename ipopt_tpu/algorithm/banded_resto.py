@@ -91,7 +91,8 @@ def perform_restoration_banded(orig: CanonicalNLP, opts: Options,
                                outer_mu, fs: FilterState, theta_outer,
                                phi_outer, ipm_step_fn,
                                active=True) -> RestoResult:
-    from .solver import IPMState, counters_init, _cache_from_evals
+    from .solver import (IPMState, counters_init, _cache_from_evals,
+                         robust_state_init)
     from .linesearch import filter_init
     from .mu import adaptive_mu_init
     from .quasi_newton import lbfgs_init
@@ -174,7 +175,8 @@ def perform_restoration_banded(orig: CanonicalNLP, opts: Options,
         tr_omega=jnp.asarray(resto_opts.omega_init, dtype),
         nu_low=jnp.asarray(resto_opts.nu_low_init, dtype),
         ev=_cache_from_evals(ev_r),
-        counters=counters_init())
+        counters=counters_init(),
+        **robust_state_init(resto_opts, it_r))
 
     kappa = opts.required_infeasibility_reduction
     inf_pr_req = jnp.maximum(kappa * theta_entry_inf,

@@ -102,6 +102,9 @@ class LineSearchResult(NamedTuple):
     # and SOC KKT backsolves actually performed
     n_evals: jnp.ndarray
     n_soc_rounds: jnp.ndarray
+    # was the LAST evaluated trial rejected because the filter blocked it?
+    # (drives the filter-reset heuristic, IpFilterLSAcceptor.cpp:402-420)
+    last_rej_filter: jnp.ndarray = None
 
 
 def _theta(nlp: CanonicalNLP, c, d, s, norm_type: str = "1-norm"):
@@ -214,15 +217,16 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     else:
         nu = penalty_nu if penalty_nu is not None else jnp.zeros((), dtype)
 
-    def acceptable(alpha, theta_t, phi_t):
-        """Returns (accept, is_ftype)."""
+    def acceptable3(alpha, theta_t, phi_t):
+        """Returns (accept, is_ftype, rejected_by_filter)."""
         if use_penalty:
             Dphi = gphi_dx - nu * theta
             lhs = (phi_t + nu * theta_t) - (phi + nu * theta)
             accept = lhs <= opts.eta_phi * alpha * jnp.minimum(Dphi, 0.0)
-            return accept, jnp.ones((), bool)  # no filter augmentation
-        to_filter = jnp.logical_and(filter_acceptable(fs, theta_t, phi_t),
-                                    theta_t <= theta_max)
+            # no filter augmentation, never a filter rejection
+            return accept, jnp.ones((), bool), jnp.zeros((), bool)
+        in_filter = filter_acceptable(fs, theta_t, phi_t)
+        to_filter = jnp.logical_and(in_filter, theta_t <= theta_max)
         sw = switching(alpha)
         armijo = phi_t <= phi + opts.eta_phi * alpha * gphi_dx
         suff = jnp.logical_or(theta_t <= (1.0 - opts.gamma_theta) * theta,
@@ -234,7 +238,11 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         not_absurd = phi_t <= phi + 10.0 ** opts.obj_max_inc * basval
         accept = jnp.logical_and(jnp.logical_and(to_filter, acc_vs_curr), not_absurd)
         is_ftype = jnp.logical_and(ftype_case, armijo)
-        return accept, is_ftype
+        return accept, is_ftype, jnp.logical_not(in_filter)
+
+    def acceptable(alpha, theta_t, phi_t):
+        acc, isf, _ = acceptable3(alpha, theta_t, phi_t)
+        return acc, isf
 
     # --- main backtracking loop -----------------------------------------
     def eval_trial(alpha):
@@ -257,6 +265,7 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         used_soc: jnp.ndarray
         alpha_used: jnp.ndarray
         n_soc_rounds: jnp.ndarray
+        rej_filter: jnp.ndarray   # last evaluated trial was filter-blocked
 
     def try_soc(alpha, c_t, d_t, it_t_s):
         """Second-order corrections (A-5.7).  Bounded fori over max_soc rounds,
@@ -301,7 +310,11 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     def body(cy: Carry) -> Carry:
         alpha = cy.alpha
         it_t, f_t, c_t, d_t, theta_t, phi_t = eval_trial(alpha)
-        acc, isf = acceptable(alpha, theta_t, phi_t)
+        acc, isf, rejf = acceptable3(alpha, theta_t, phi_t)
+        # accept_after_max_steps (IpBacktrackingLineSearch.cpp:749): force
+        # acceptance of the trial once this many backtracks were taken.
+        if opts.accept_after_max_steps >= 0:
+            acc = jnp.logical_or(acc, cy.k >= opts.accept_after_max_steps)
 
         def with_soc(_):
             return try_soc(alpha, c_t, d_t, it_t.s)
@@ -342,7 +355,8 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
             first=first_sel,
             used_soc=jnp.logical_or(cy.used_soc, pick_soc),
             alpha_used=alpha,
-            n_soc_rounds=cy.n_soc_rounds + s_rounds)
+            n_soc_rounds=cy.n_soc_rounds + s_rounds,
+            rej_filter=jnp.logical_and(jnp.logical_not(final_acc), rejf))
 
     def cond(cy: Carry):
         return jnp.logical_and(jnp.logical_not(cy.done),
@@ -356,7 +370,8 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
                  ftype=jnp.zeros((), bool), it_t=it0, f_t=ev.f, c_t=ev.c,
                  d_t=ev.d, first=first0,
                  used_soc=jnp.zeros((), bool), alpha_used=alpha_max,
-                 n_soc_rounds=jnp.zeros((), jnp.int32))
+                 n_soc_rounds=jnp.zeros((), jnp.int32),
+                 rej_filter=jnp.zeros((), bool))
 
     if opts.accept_every_trial_step:
         it_t, f_t, c_t, d_t, theta_t, phi_t = eval_trial(alpha_max)
@@ -365,7 +380,8 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
                     ftype=jnp.ones((), bool), it_t=it_t, f_t=f_t, c_t=c_t,
                     d_t=d_t, first=(it_t, f_t, c_t, d_t, theta_t, phi_t),
                     used_soc=jnp.zeros((), bool),
-                    alpha_used=alpha_max, n_soc_rounds=jnp.zeros((), jnp.int32))
+                    alpha_used=alpha_max, n_soc_rounds=jnp.zeros((), jnp.int32),
+                    rej_filter=jnp.zeros((), bool))
     else:
         out = lax.while_loop(cond, body, init)
 
@@ -383,7 +399,8 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         theta_curr=theta, phi_curr=phi, penalty_nu=nu,
         first_trial=f_it, first_f=f_f, first_c=f_c, first_d=f_d,
         first_theta=f_th, first_phi=f_ph,
-        n_evals=out.k + out.n_soc_rounds, n_soc_rounds=out.n_soc_rounds)
+        n_evals=out.k + out.n_soc_rounds, n_soc_rounds=out.n_soc_rounds,
+        last_rej_filter=out.rej_filter)
 
 
 def compute_alpha_for_y(nlp: CanonicalNLP, opts: Options, it: Iterate,

@@ -191,7 +191,7 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
     select-and-execute-both), inactive lanes pass active=False so the nested
     while_loop exits immediately and costs nothing in lockstep."""
     from .solver import (IPMState, initial_state, counters_init,  # local import, no cycle at module load
-                         _cache_from_evals)
+                         _cache_from_evals, robust_state_init)
     from .linesearch import filter_init
 
     n, me, mi = orig.struct.n, orig.struct.me, orig.struct.mi
@@ -245,7 +245,8 @@ def perform_restoration(orig: CanonicalNLP, resto_nlp: CanonicalNLP,
         tr_omega=jnp.asarray(resto_opts.omega_init, dtype),
         nu_low=jnp.asarray(resto_opts.nu_low_init, dtype),
         ev=_cache_from_evals(ev_r),
-        counters=counters_init())
+        counters=counters_init(),
+        **robust_state_init(resto_opts, it_r))
 
     theta_entry_inf = theta_entry_max  # max-norm infeasibility at entry
     kappa = opts.required_infeasibility_reduction

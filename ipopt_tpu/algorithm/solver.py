@@ -135,6 +135,26 @@ class IPMState(NamedTuple):
     tr_omega: jnp.ndarray   # inexact normal-step trust-region factor
     nu_low: jnp.ndarray     # flexible-penalty lower parameter (inexact)
     ev: Any = None  # EvCache at ``it`` (filled by initial_state / ipm_step)
+    # Line-search robustness state (r4): expect_infeasible_problem heuristic
+    # (IpBacktrackingLineSearch.cpp:341-652), filter-reset heuristic
+    # (IpFilterLSAcceptor.cpp:402-420), adaptive-mu restore point
+    # (IpAdaptiveMuUpdate.cpp:362-370,541-545).
+    eip_active: Any = None        # bool: infeasibility heuristic still armed
+    filter_rej_count: Any = None  # consecutive filter-caused rejections
+    n_filter_resets: Any = None
+    last_rej_filter: Any = None
+    accepted_point: Any = None    # previous accepted iterate
+
+
+def robust_state_init(opts: Options, it: Iterate) -> dict:
+    """Initial values for the r4 robustness carry fields (shared by
+    initial_state and the four restoration-phase state builders)."""
+    return dict(
+        eip_active=jnp.asarray(bool(opts.expect_infeasible_problem)),
+        filter_rej_count=jnp.zeros((), jnp.int32),
+        n_filter_resets=jnp.zeros((), jnp.int32),
+        last_rej_filter=jnp.zeros((), bool),
+        accepted_point=it)
 
 
 class SolveResult(NamedTuple):
@@ -387,7 +407,33 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     is_tiny = jnp.logical_and(
         jnp.logical_and(step_scale <= tiny_tol, near_feasible),
         jnp.logical_not(sr.failed))
-    tiny_count = jnp.where(is_tiny, st.tiny_step_count + 1, 0)
+    # tiny_step_y_tol (IpBacktrackingLineSearch.cpp:408-419): only remember a
+    # tiny step toward termination when the DUAL step is also insignificant.
+    dy_norm = jnp.maximum(jnp.max(jnp.abs(sr.step.y_c), initial=0.0),
+                          jnp.max(jnp.abs(sr.step.y_d), initial=0.0))
+    tiny_count = jnp.where(
+        jnp.logical_and(is_tiny, dy_norm < opts.tiny_step_y_tol),
+        st.tiny_step_count + 1, 0)
+
+    # --- Filter-reset heuristic (IpFilterLSAcceptor.cpp:402-420): when the
+    # last trial rejection was filter-caused in filter_reset_trigger
+    # successive iterations, clear the filter (at most max_filter_resets
+    # times per solve).
+    fs_in = st.fs
+    frc_next = st.filter_rej_count
+    nfr_next = st.n_filter_resets
+    _filter_ls = not (opts.inexact_algorithm
+                      or opts.line_search_method in ("cg-penalty", "penalty"))
+    if opts.max_filter_resets > 0 and _filter_ls:
+        frc_next = jnp.where(st.last_rej_filter, st.filter_rej_count + 1, 0)
+        do_reset = jnp.logical_and(
+            jnp.logical_and(frc_next >= opts.filter_reset_trigger,
+                            st.n_filter_resets < opts.max_filter_resets),
+            jnp.logical_not(st.wd_active))
+        fs_in = jax.tree.map(lambda a, b: jnp.where(do_reset, b, a),
+                             st.fs, filter_reset(st.fs))
+        frc_next = jnp.where(do_reset, 0, frc_next)
+        nfr_next = st.n_filter_resets + do_reset.astype(jnp.int32)
 
     # --- Line search ------------------------------------------------------
     if opts.inexact_algorithm:
@@ -401,8 +447,10 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                                       cg_state, cg_aux)
         ls = ls._replace(filter=st.fs)  # the CG method keeps no filter
     else:
-        ls = line_search(nlp, opts, it, ev, sr, mu, tau, st.fs,
+        ls = line_search(nlp, opts, it, ev, sr, mu, tau, fs_in,
                          st.theta_min, st.theta_max, penalty_nu=st.penalty_nu)
+    lrf_next = (ls.last_rej_filter if ls.last_rej_filter is not None
+                else jnp.zeros((), bool))
 
     # --- PerformDualStep: y step size per alpha_for_y ---------------------
     # (IpBacktrackingLineSearch.cpp:908-990; default 'primal' is what the
@@ -523,9 +571,34 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             st.soft_resto_count < opts.max_soft_resto_iters))
     soft_count = jnp.where(soft_ok, st.soft_resto_count + 1, 0)
     accepted = jnp.logical_or(accepted, soft_ok)
+
+    # --- Forced restoration entries (IpBacktrackingLineSearch.cpp:332-345,
+    #     788-793): start_with_resto skips the first line search entirely;
+    #     expect_infeasible_problem jumps to restoration when the multipliers
+    #     blow past ytol, or after >= 5 consecutive shortened steps unless
+    #     the first trial was just accepted in full.
+    force_resto = jnp.zeros((), bool)
+    if enable_resto and opts.start_with_resto:
+        force_resto = jnp.logical_or(force_resto, st.iter_count == 0)
+    if enable_resto and opts.expect_infeasible_problem:
+        y_amax = jnp.maximum(jnp.max(jnp.abs(it.y_c), initial=0.0),
+                             jnp.max(jnp.abs(it.y_d), initial=0.0))
+        force_resto = jnp.logical_or(
+            force_resto,
+            jnp.logical_and(st.eip_active,
+                            y_amax > opts.expect_infeasible_problem_ytol))
+        full_first = jnp.logical_and(ls.accepted, ls.n_backtracks <= 1)
+        force_resto = jnp.logical_or(
+            force_resto,
+            jnp.logical_and(
+                jnp.logical_and(st.eip_active, st.wd_shortened_count >= 5),
+                jnp.logical_not(full_first)))
+    accepted = jnp.logical_and(accepted, jnp.logical_not(force_resto))
     new_it = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), it, ls.trial)
-    # watchdog mode / soft restoration: the trusted full step
-    take_full = jnp.logical_or(in_wd, soft_ok)
+    # watchdog mode / soft restoration: the trusted full step (suppressed
+    # when a forced restoration entry fires)
+    take_full = jnp.logical_and(jnp.logical_or(in_wd, soft_ok),
+                                jnp.logical_not(force_resto))
     new_it = jax.tree.map(lambda a, b: jnp.where(take_full, b, a), new_it, wd_trial)
     new_it = jax.tree.map(lambda a, b: jnp.where(wd_restore, b, a),
                           new_it, st.wd_ref)
@@ -573,7 +646,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         resto_opts = opts.resto_options()
         # Entering restoration augments the outer filter with the current
         # point so the algorithm cannot return to it (A-9).
-        fs_entry = filter_augment(st.fs, ls.theta_curr, ls.phi_curr,
+        fs_entry = filter_augment(fs_in, ls.theta_curr, ls.phi_curr,
                                   opts.gamma_theta, opts.gamma_phi)
         if _backend(nlp) == "btd":
             from .chained_resto import perform_restoration_chained
@@ -696,6 +769,10 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         wd_enabled,
         jnp.logical_and(jnp.logical_not(in_wd),
                         new_short_count >= opts.watchdog_shortened_iter_trigger))
+    if opts.expect_infeasible_problem:
+        # the watchdog is suppressed while the infeasibility heuristic is
+        # armed (IpBacktrackingLineSearch.cpp:367)
+        activate = jnp.logical_and(activate, jnp.logical_not(st.eip_active))
     wd_done = jnp.logical_or(wd_ok, wd_restore)
     wd_active_next = jnp.where(in_wd, jnp.logical_not(wd_done), activate)
     wd_trials_next = jnp.where(jnp.logical_and(in_wd, jnp.logical_not(wd_done)),
@@ -709,6 +786,44 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     wd_ref_theta_next = jnp.where(activate, theta_new, st.wd_ref_theta)
     wd_ref_phi_next = jnp.where(activate, phi_new, st.wd_ref_phi)
     new_short_count = jnp.where(activate, 0, new_short_count)
+
+    # --- recalc_y (IpIpoptAlg.cpp:774-811): once nearly feasible, replace
+    #     y_c/y_d by the least-squares multipliers at the accepted point.
+    #     Reference default: off, auto-enabled for limited-memory Hessians
+    #     (IpIpoptAlg.cpp:232-246) — here strictly option-driven (recalc_y).
+    _recalc = (opts.recalc_y and nlp.chain is None
+               and nlp.struct.me + nlp.struct.mi > 0
+               and not opts.inexact_algorithm)
+    if _recalc:
+        from .init import least_squares_y as _lsy
+
+        def _rc_yes(args):
+            ni, gf, Jc, Jd = args
+            return _lsy(nlp, ni.x, ni.s, gf, Jc, Jd,
+                        ni.z_L, ni.z_U, ni.v_L, ni.v_U,
+                        jnp.asarray(jnp.inf, ni.x.dtype))
+
+        def _rc_no(args):
+            ni = args[0]
+            return ni.y_c, ni.y_d
+
+        theta_acc = _theta_norm(nlp, ev_new.c, ev_new.d, new_it.s,
+                                opts.constraint_violation_norm_type)
+        y_c2, y_d2 = lax.cond(theta_acc < opts.recalc_y_feas_tol,
+                              _rc_yes, _rc_no,
+                              (new_it, ev_new.grad_f, ev_new.J_c, ev_new.J_d))
+        new_it = new_it._replace(y_c=y_c2, y_d=y_d2)
+
+    # --- expect_infeasible_problem heuristic state: disarm once the
+    #     violation dropped below ctol, or after a restoration entry
+    #     (IpBacktrackingLineSearch.cpp:615-652).
+    eip_next = st.eip_active
+    if opts.expect_infeasible_problem:
+        theta_eip = _theta_norm(nlp, ev_new.c, ev_new.d, new_it.s,
+                                opts.constraint_violation_norm_type)
+        eip_next = jnp.logical_and(
+            eip_next, theta_eip > opts.expect_infeasible_problem_ctol)
+        eip_next = jnp.logical_and(eip_next, jnp.logical_not(need_resto))
 
     # --- L-BFGS pair update (LimMemQuasiNewtonUpdater) --------------------
     lbfgs = st.lbfgs
@@ -769,6 +884,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         tr_omega=new_tr_omega,
         nu_low=nu_low_state,
         ev=_cache_from_evals(ev_new),
+        eip_active=eip_next,
+        filter_rej_count=frc_next,
+        n_filter_resets=nfr_next,
+        last_rej_filter=lrf_next,
+        accepted_point=st.it,
         # Real evaluation counts (IpOrigIpoptNLP.hpp:316-342): one full
         # evaluation at the new accepted point, plus the line-search trials
         # (incl. SOC rounds), plus the lazily-evaluated watchdog point.
@@ -835,7 +955,8 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         tr_omega=jnp.asarray(opts.omega_init, dtype),
         nu_low=jnp.asarray(opts.nu_low_init, dtype),
         ev=_cache_from_evals(ev),
-        counters=counters_init())
+        counters=counters_init(),
+        **robust_state_init(opts, it))
 
 
 def _initial_check(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
