@@ -74,9 +74,72 @@ def least_squares_y(nlp: CanonicalNLP, x, s, grad_f, J_c, J_d, z_L, z_U,
     return y[:me], y[me:]
 
 
+def least_squares_primal_x(nlp: CanonicalNLP, x0):
+    """least_square_init_primal (IpDefaultIterateInitializer.cpp:200-222,
+    349-395): the min-norm (x, s) satisfying the constraints linearized at
+    x0 — the aug-system solve with W = 0, D = I — negated.  The reference
+    then recomputes s from d(x) anyway (:239), so only x is used.  Falls
+    back to x0 when the normal system is singular (retval false path)."""
+    n, mi = nlp.n, nlp.mi
+    dtype = x0.dtype
+    J_c = nlp.eval_jac_c(x0)
+    J_d = nlp.eval_jac_d(x0)
+    cv = nlp.eval_c(x0)
+    dv = nlp.eval_d(x0)
+    m = cv.shape[0] + dv.shape[0]
+    A = jnp.zeros((m, n + mi), dtype)
+    A = A.at[:cv.shape[0], :n].set(J_c)
+    A = A.at[cv.shape[0]:, :n].set(J_d)
+    A = A.at[cv.shape[0]:, n:].set(-jnp.eye(mi, dtype=dtype))
+    b = jnp.concatenate([cv, dv])
+    from ..linalg.ldlt import dense_solve
+    AAt = A @ A.T + 1e-12 * jnp.eye(m, dtype=dtype)
+    sol = A.T @ dense_solve(AAt, b)
+    x_ls = -sol[:n]
+    ok = jnp.all(jnp.isfinite(x_ls))
+    return jnp.where(ok, x_ls, x0)
+
+
+def least_squares_duals(nlp: CanonicalNLP, x, grad_f, J_c, J_d):
+    """least_square_init_duals (IpDefaultIterateInitializer.cpp:299-345,
+    397-474): solve the aug system with W = 0, D_x = -(#bounds per row),
+    deltas 0, rhs = (grad_f, 0, 0, 0); extract z_L = -sol_x, z_U = +sol_x
+    (per bounded side), v_L = -sol_s, v_U = +sol_s, y = -sol_y.  Returns
+    (ok, z_L, z_U, v_L, v_U, y_c, y_d); ok False on a singular system."""
+    n, mi, me = nlp.n, nlp.mi, nlp.me
+    dtype = x.dtype
+    N = n + mi + me + mi
+    kx = (nlp.has_xL.astype(dtype) + nlp.has_xU.astype(dtype))
+    ks = (nlp.has_dL.astype(dtype) + nlp.has_dU.astype(dtype))
+    K = jnp.zeros((N, N), dtype)
+    K = K.at[jnp.arange(n), jnp.arange(n)].set(-kx)
+    K = K.at[n + jnp.arange(mi), n + jnp.arange(mi)].set(-ks)
+    r0 = n + mi
+    K = K.at[r0:r0 + me, :n].set(J_c)
+    K = K.at[:n, r0:r0 + me].set(J_c.T)
+    K = K.at[r0 + me:, :n].set(J_d)
+    K = K.at[:n, r0 + me:].set(J_d.T)
+    K = K.at[r0 + me:, n:n + mi].set(-jnp.eye(mi, dtype=dtype))
+    K = K.at[n:n + mi, r0 + me:].set(-jnp.eye(mi, dtype=dtype))
+    rhs = jnp.concatenate([grad_f, jnp.zeros((N - n,), dtype)])
+    from ..linalg.ldlt import dense_solve
+    sol = dense_solve(K + 1e-12 * jnp.eye(N, dtype=dtype), rhs)
+    sol_x, sol_s = sol[:n], sol[n:n + mi]
+    y_c, y_d = -sol[r0:r0 + me], -sol[r0 + me:]
+    ok = jnp.all(jnp.isfinite(sol))
+    z_L = jnp.where(nlp.has_xL, -sol_x, 0.0)
+    z_U = jnp.where(nlp.has_xU, sol_x, 0.0)
+    v_L = jnp.where(nlp.has_dL, -sol_s, 0.0)
+    v_U = jnp.where(nlp.has_dU, sol_s, 0.0)
+    return ok, z_L, z_U, v_L, v_U, y_c, y_d
+
+
 def default_initialize(nlp: CanonicalNLP, opts: Options, x0=None) -> Iterate:
     dtype = nlp.x0.dtype
     x = nlp.x0 if x0 is None else jnp.asarray(x0, dtype)
+    if (opts.least_square_init_primal and getattr(nlp, "chain", None) is None
+            and nlp.struct.me + nlp.struct.mi > 0):
+        x = least_squares_primal_x(nlp, x)
     x = push_inside(x, nlp.x_L, nlp.x_U, nlp.has_xL, nlp.has_xU,
                     opts.bound_push, opts.bound_frac)
     d0 = nlp.eval_d(x)
@@ -109,8 +172,28 @@ def default_initialize(nlp: CanonicalNLP, opts: Options, x0=None) -> Iterate:
         grad_f = nlp.eval_grad_f(x)
         J_c = nlp.eval_jac_c(x)
         J_d = nlp.eval_jac_d(x)
-        y_c, y_d = least_squares_y(nlp, x, s, grad_f, J_c, J_d, z_L, z_U,
-                                   v_L, v_U, opts.constr_mult_init_max)
+        if opts.least_square_init_duals and nlp.struct.me + nlp.struct.mi > 0:
+            # least_square_init_duals: ALL duals from one aug solve; bound
+            # multipliers floored at bound_mult_init_val on success
+            # (IpDefaultIterateInitializer.cpp:299-345).
+            ok, zL2, zU2, vL2, vU2, y_c2, y_d2 = least_squares_duals(
+                nlp, x, grad_f, J_c, J_d)
+            z_L = jnp.where(jnp.logical_and(ok, nlp.has_xL),
+                            jnp.maximum(zL2, z_L), z_L)
+            z_U = jnp.where(jnp.logical_and(ok, nlp.has_xU),
+                            jnp.maximum(zU2, z_U), z_U)
+            v_L = jnp.where(jnp.logical_and(ok, nlp.has_dL),
+                            jnp.maximum(vL2, v_L), v_L)
+            v_U = jnp.where(jnp.logical_and(ok, nlp.has_dU),
+                            jnp.maximum(vU2, v_U), v_U)
+            y_c_ls, y_d_ls = least_squares_y(
+                nlp, x, s, grad_f, J_c, J_d, z_L, z_U, v_L, v_U,
+                opts.constr_mult_init_max)
+            y_c = jnp.where(ok, y_c2, y_c_ls)
+            y_d = jnp.where(ok, y_d2, y_d_ls)
+        else:
+            y_c, y_d = least_squares_y(nlp, x, s, grad_f, J_c, J_d, z_L, z_U,
+                                       v_L, v_U, opts.constr_mult_init_max)
     return Iterate(x=x, s=s, y_c=y_c, y_d=y_d, z_L=z_L, z_U=z_U,
                    v_L=v_L, v_U=v_U)
 

@@ -43,14 +43,27 @@ def lbfgs_init(n: int, hist: int, dtype, init_val=1.0) -> LBFGSState:
 def lbfgs_update(st: LBFGSState, s, y, opts) -> LBFGSState:
     """Insert a new pair with Ipopt's skipping rule.
 
-    Skip when s^T y <= 0 relative to ||s|| ||y|| (curvature condition fails;
-    limited_memory_max_skipping consecutive skips reset the history).
+    BFGS: skip when s^T y <= 0 relative to ||s|| ||y|| (curvature condition
+    fails; limited_memory_max_skipping consecutive skips reset the history).
+    SR1 (limited_memory_update_type=sr1): no curvature requirement — only a
+    degenerate |s^T y| is skipped (the compact middle matrix would get a
+    near-zero diagonal entry).
+
+    sigma (the B0 diagonal) follows limited_memory_initialization
+    (IpLimMemQuasiNewtonUpdater.cpp:46-54): scalar1 = s'y/s's, scalar2 =
+    y'y/s'y, scalar3 = arithmetic and scalar4 = geometric average of the
+    two, constant = limited_memory_init_val; clipped to
+    [limited_memory_init_val_min, limited_memory_init_val_max] (:426-428).
     """
     sty = jnp.dot(s, y)
     s_norm = jnp.sqrt(jnp.dot(s, s))
     y_norm = jnp.sqrt(jnp.dot(y, y))
     eps = jnp.finfo(s.dtype).eps
-    skip = sty <= jnp.sqrt(eps) * s_norm * y_norm
+    sr1 = opts.limited_memory_update_type == "sr1"
+    if sr1:
+        skip = jnp.abs(sty) <= jnp.sqrt(eps) * s_norm * y_norm
+    else:
+        skip = sty <= jnp.sqrt(eps) * s_norm * y_norm
 
     hist = st.S.shape[1]
     # Store the pair normalized by 1/||s||: B is invariant under per-pair
@@ -60,8 +73,24 @@ def lbfgs_update(st: LBFGSState, s, y, opts) -> LBFGSState:
     inv_sn = jnp.where(s_norm > 0, 1.0 / jnp.maximum(s_norm, 1e-300), 1.0)
     S_new = st.S.at[:, st.head].set(s * inv_sn)
     Y_new = st.Y.at[:, st.head].set(y * inv_sn)
-    sigma_raw = jnp.where(s_norm > 0, sty / jnp.maximum(jnp.dot(s, s), 1e-300),
-                          st.sigma)
+    strat = opts.limited_memory_initialization
+    s1 = sty / jnp.maximum(jnp.dot(s, s), 1e-300)
+    s2 = jnp.dot(y, y) / jnp.where(jnp.abs(sty) > 0, sty, 1e-300)
+    if sr1:
+        # the SR1 B0 must stay positive even for negative curvature pairs
+        # ("take the abs value", IpLimMemQuasiNewtonUpdater.cpp:544-546)
+        s1, s2 = jnp.abs(s1), jnp.abs(s2)
+    if strat == "constant":
+        sigma_raw = jnp.asarray(opts.limited_memory_init_val, s.dtype)
+    elif strat == "scalar2":
+        sigma_raw = s2
+    elif strat == "scalar3":
+        sigma_raw = 0.5 * (s1 + s2)
+    elif strat == "scalar4":
+        sigma_raw = jnp.sqrt(jnp.maximum(s1 * s2, 0.0))
+    else:  # "scalar1" (default)
+        sigma_raw = s1
+    sigma_raw = jnp.where(s_norm > 0, sigma_raw, st.sigma)
     sigma_new = jnp.clip(sigma_raw, opts.limited_memory_init_val_min,
                          opts.limited_memory_init_val_max)
 
@@ -101,10 +130,20 @@ class LowRankW(NamedTuple):
     M: jnp.ndarray       # (2k, 2k) masked middle matrix
 
 
-def lbfgs_compact(st: LBFGSState) -> LowRankW:
-    """Compact-form pieces (sigma, U, M) with ring-buffer masking."""
+def lbfgs_compact(st: LBFGSState, opts=None) -> LowRankW:
+    """Compact-form pieces (sigma, U, M) with ring-buffer masking.
+
+    BFGS (Byrd-Nocedal-Schnabel):
+        B = sigma I - U M^{-1} U^T,  U = [sigma S, Y],
+        M = [[sigma S'S, L], [L', -D]].
+    SR1 (limited_memory_update_type=sr1, IpLimMemQuasiNewtonUpdater.cpp:523-
+    660 — the eigen-split there is a LowRankUpdateSymMatrix storage detail):
+        B = sigma I + V Z^{-1} V',  V = Y - sigma S,
+        Z = D + L + L' - sigma S'S  ==  B = sigma I - V (-Z)^{-1} V'.
+    """
     n, hist = st.S.shape
     dtype = st.S.dtype
+    sr1 = opts is not None and opts.limited_memory_update_type == "sr1"
     idx = jnp.arange(hist)
     # A slot is valid if it was written within the last `count` writes:
     # positions head-count .. head-1 (mod hist); offset orders chronologically.
@@ -124,6 +163,16 @@ def lbfgs_compact(st: LBFGSState) -> LowRankW:
     older = offset[:, None] > offset[None, :]
     L = jnp.where(older, StY, 0.0)
 
+    if sr1:
+        Z = jnp.diag(D) + L + L.T - sig * StS
+        # tiny symmetric regularization keeps -Z factorizable when a pair
+        # makes Z nearly singular (the reference skips such updates via its
+        # eigenvalue-split tolerance)
+        M = -(Z) + jnp.sqrt(jnp.finfo(dtype).eps) * jnp.eye(hist, dtype=dtype)
+        M = jnp.where(jnp.outer(valid, valid), M, jnp.eye(hist, dtype=dtype))
+        U = jnp.where(valid[None, :], Y - sig * S, 0.0)
+        return LowRankW(sigma=sig, U=U, M=M)
+
     M = jnp.block([[sig * StS, L], [L.T, -jnp.diag(D)]])
     vmask = jnp.concatenate([valid, valid])
     M = jnp.where(jnp.outer(vmask, vmask), M,
@@ -132,10 +181,10 @@ def lbfgs_compact(st: LBFGSState) -> LowRankW:
     return LowRankW(sigma=sig, U=U, M=M)
 
 
-def lbfgs_dense_W(st: LBFGSState) -> jnp.ndarray:
+def lbfgs_dense_W(st: LBFGSState, opts=None) -> jnp.ndarray:
     """Materialize the dense B = sigma I - U M^{-1} U^T (compact form)."""
     n = st.S.shape[0]
-    lr = lbfgs_compact(st)
+    lr = lbfgs_compact(st, opts)
     from ..linalg.ldlt import dense_solve
     Minv_Ut = dense_solve(lr.M, lr.U.T)
     return lr.sigma * jnp.eye(n, dtype=st.S.dtype) - lr.U @ Minv_Ut

@@ -295,10 +295,10 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             # (dense condensation, or the structured factorization for the
             # chained/arrow/banded backends — lowrank_struct.py).
             from .quasi_newton import lbfgs_compact
-            W = lbfgs_compact(st.lbfgs)
+            W = lbfgs_compact(st.lbfgs, opts)
         else:
             from .quasi_newton import lbfgs_dense_W
-            W = lbfgs_dense_W(st.lbfgs)
+            W = lbfgs_dense_W(st.lbfgs, opts)
     elif opts.linear_solver == "minres" or opts.inexact_algorithm:
         W = None  # matrix-free: Hessian only ever appears as HVPs
     else:

@@ -104,6 +104,100 @@ def test_tiny_step_y_tol_gates_termination():
     assert int(ok.status) != int(SolverReturn.STOP_AT_TINY_STEP)
 
 
+def _iter0_iterate(nlp, **kw):
+    seen = []
+
+    def cb(**k):
+        if k["iter_count"] == 0 and k.get("curr_iterate") is not None:
+            seen.append(k["curr_iterate"])
+        return True
+
+    res = solve(nlp, print_level=0, tol=1e-8, intermediate_callback=cb,
+                callback_curr_iterate=True, **kw)
+    return res, seen[0]
+
+
+def test_least_square_init_primal():
+    """IpDefaultIterateInitializer.cpp:200-222: the initial x comes from the
+    min-norm linearized-constraint solve instead of the user x0."""
+    nlp = hs071()
+    res0, it0 = _iter0_iterate(nlp)
+    res1, it1 = _iter0_iterate(nlp, least_square_init_primal=True)
+    assert int(res1.status) == int(SolverReturn.SUCCESS)
+    assert not np.allclose(it0["x"], it1["x"])
+    np.testing.assert_allclose(float(res1.obj), float(res0.obj), rtol=1e-6)
+
+
+def test_least_square_init_duals():
+    """IpDefaultIterateInitializer.cpp:299-345: all duals from one aug
+    solve, bound multipliers floored at bound_mult_init_val."""
+    nlp = hs071()
+    res0, it0 = _iter0_iterate(nlp)
+    res1, it1 = _iter0_iterate(nlp, least_square_init_duals=True)
+    assert int(res1.status) == int(SolverReturn.SUCCESS)
+    changed = (not np.allclose(it0["z_L"], it1["z_L"])
+               or not np.allclose(it0["y_c"], it1["y_c"])
+               or not np.allclose(it0["y_d"], it1["y_d"]))
+    assert changed
+    # floor: every active bound multiplier >= bound_mult_init_val
+    o = Options()
+    assert np.all(np.asarray(it1["z_L"]) >= o.bound_mult_init_val - 1e-12)
+    np.testing.assert_allclose(float(res1.obj), float(res0.obj), rtol=1e-6)
+
+
+def test_sr1_dense_reconstruction():
+    """SR1 finite termination: with n independent exact-quadratic pairs the
+    compact SR1 matrix equals the true Hessian
+    (IpLimMemQuasiNewtonUpdater.cpp:523-660)."""
+    from ipopt_tpu.algorithm.quasi_newton import (lbfgs_init, lbfgs_update,
+                                                  lbfgs_dense_W)
+    n = 5
+    rng = np.random.RandomState(3)
+    A = rng.standard_normal((n, n))
+    B_true = A @ A.T + np.diag([3.0, -1.0, 2.0, 5.0, 0.5])  # indefinite ok
+    opts = Options(limited_memory_update_type="sr1",
+                   limited_memory_max_history=n)
+    st = lbfgs_init(n, n, jnp.float64)
+    for i in range(n):
+        s = jnp.asarray(rng.standard_normal(n))
+        y = jnp.asarray(B_true) @ s
+        st = lbfgs_update(st, s, y, opts)
+    W = np.asarray(lbfgs_dense_W(st, opts))
+    np.testing.assert_allclose(W, B_true, rtol=1e-5, atol=1e-5)
+
+
+def test_sr1_solves_and_differs_from_bfgs():
+    nlp = _backtracky_nlp()
+    bfgs = solve(nlp, print_level=0, tol=1e-6,
+                 hessian_approximation="limited-memory")
+    sr1 = solve(nlp, print_level=0, tol=1e-6,
+                hessian_approximation="limited-memory",
+                limited_memory_update_type="sr1")
+    assert int(sr1.status) in (int(SolverReturn.SUCCESS),
+                               int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+    np.testing.assert_allclose(np.asarray(sr1.x), [1.0, 1.0], atol=1e-4)
+    assert int(sr1.iter_count) != int(bfgs.iter_count) or \
+        not np.allclose(np.asarray(sr1.x), np.asarray(bfgs.x), atol=1e-12)
+
+
+def test_limited_memory_initialization_strategies():
+    from ipopt_tpu.algorithm.quasi_newton import lbfgs_init, lbfgs_update
+    n = 4
+    s = jnp.asarray([1.0, 2.0, -1.0, 0.5])
+    y = jnp.asarray([2.0, 1.0, -3.0, 1.0])
+    sty = float(jnp.dot(s, y))
+    s1 = sty / float(jnp.dot(s, s))
+    s2 = float(jnp.dot(y, y)) / sty
+    expect = {"scalar1": s1, "scalar2": s2, "scalar3": 0.5 * (s1 + s2),
+              "scalar4": float(np.sqrt(s1 * s2)), "constant": 7.5}
+    for strat, want in expect.items():
+        opts = Options(limited_memory_initialization=strat,
+                       limited_memory_init_val=7.5)
+        st = lbfgs_update(lbfgs_init(n, 3, jnp.float64), s, y, opts)
+        np.testing.assert_allclose(float(st.sigma), want, rtol=1e-12,
+                                   err_msg=strat)
+
+
 def test_filter_reset_machinery():
     """Drive one ipm step from a state whose filter blocks everything and
     whose last rejection was filter-caused: with the trigger reached the
