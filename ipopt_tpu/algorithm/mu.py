@@ -68,9 +68,17 @@ def monotone_mu_update(opts: Options, ms: MuState, barrier_err) -> MuState:
 
 
 def monotone_mu_update_components(opts: Options, ms: MuState,
-                                  dual_s, primal, compl_terms_max_fn) -> MuState:
+                                  dual_s, primal, compl_terms_max_fn,
+                                  max_rounds=None) -> MuState:
     """dual_s: dual_inf/s_d; primal: primal_inf; compl_terms_max_fn(mu) ->
-    max_i |slack_i * mult_i - mu| / s_c  as a jnp function of mu."""
+    max_i |slack_i * mult_i - mu| / s_c  as a jnp function of mu.
+
+    ``max_rounds`` caps the inner decrease loop: with
+    mu_allow_fast_monotone_decrease=no the reference stops after one level
+    except on the very first update (IpMonotoneMuUpdate.cpp:170-182) — the
+    caller passes 1 or 30 accordingly."""
+    if max_rounds is None:
+        max_rounds = jnp.asarray(30, jnp.int32)
 
     def err_for(mu):
         return jnp.maximum(jnp.maximum(dual_s, primal), compl_terms_max_fn(mu))
@@ -81,7 +89,7 @@ def monotone_mu_update_components(opts: Options, ms: MuState,
         new_mu, _ = _new_mu_tau(mu, opts)
         can_decrease = new_mu < mu
         return jnp.logical_and(jnp.logical_and(converged, can_decrease),
-                               rounds < 30)
+                               rounds < max_rounds)
 
     def body(carry):
         mu, tau, rounds = carry
@@ -222,24 +230,50 @@ def quality_function_mu(nlp, it: Iterate, opts: Options, step_aff: Iterate,
                     0.0, jnp.maximum(du, pr) - compl_v) ** 3
         return quality
 
-    # Golden-section on log(sigma).
+    # Golden-section on log(sigma), with the reference's two stopping
+    # tolerances (PerformGoldenSection, IpQualityFunctionMuOracle.cpp:698-
+    # 790): stop when the scaled interval shrinks below
+    # quality_function_section_sigma_tol * |hi| or the qf values flatten to
+    # within quality_function_section_qf_tol (relative), whichever first;
+    # quality_function_max_section_steps bounds the loop.
     lo = jnp.asarray(jnp.log(opts.sigma_min), dtype)
     hi = jnp.asarray(jnp.log(opts.sigma_max), dtype)
     gr = 0.5 * (jnp.sqrt(5.0) - 1.0)
+    tiny = jnp.finfo(dtype).tiny
 
-    def body(_, carry):
-        lo, hi = carry
-        m1 = hi - gr * (hi - lo)
-        m2 = lo + gr * (hi - lo)
-        f1 = qf(jnp.exp(m1))
-        f2 = qf(jnp.exp(m2))
-        new_lo = jnp.where(f1 < f2, lo, m1)
-        new_hi = jnp.where(f1 < f2, m2, hi)
-        return new_lo, new_hi
+    def mids(lo, hi):
+        return hi - gr * (hi - lo), lo + gr * (hi - lo)
 
-    lo, hi = lax.fori_loop(0, opts.quality_function_max_section_steps, body,
-                           (lo, hi))
-    sigma = jnp.exp(0.5 * (lo + hi))
+    m1_0, m2_0 = mids(lo, hi)
+
+    def cond(carry):
+        lo, hi, m1, m2, f1, f2, i = carry
+        width_live = (hi - lo) >= (opts.quality_function_section_sigma_tol
+                                   * jnp.maximum(jnp.abs(hi), 1.0))
+        fmin = jnp.minimum(f1, f2)
+        fmax = jnp.maximum(jnp.maximum(f1, f2), tiny)
+        qf_live = (1.0 - fmin / fmax) >= opts.quality_function_section_qf_tol
+        return jnp.logical_and(
+            jnp.logical_and(width_live, qf_live),
+            i < opts.quality_function_max_section_steps)
+
+    def body(carry):
+        lo, hi, m1, m2, f1, f2, i = carry
+        shrink_hi = f1 < f2
+        new_lo = jnp.where(shrink_hi, lo, m1)
+        new_hi = jnp.where(shrink_hi, m2, hi)
+        n1, n2 = mids(new_lo, new_hi)
+        # golden-section reuse: shrinking the hi side makes old m1 the new
+        # m2 (and vice versa) — one fresh qf evaluation per section
+        nf1 = jnp.where(shrink_hi, qf(jnp.exp(n1)), f2)
+        nf2 = jnp.where(shrink_hi, f1, qf(jnp.exp(n2)))
+        return new_lo, new_hi, n1, n2, nf1, nf2, i + 1
+
+    lo, hi, m1, m2, f1, f2, _ = lax.while_loop(
+        cond, body,
+        (lo, hi, m1_0, m2_0, qf(jnp.exp(m1_0)), qf(jnp.exp(m2_0)),
+         jnp.zeros((), jnp.int32)))
+    sigma = jnp.exp(jnp.where(f1 < f2, m1, m2))
     return jnp.where(ncomps > 0, sigma * avg, 0.0)
 
 
@@ -262,28 +296,44 @@ class AdaptiveMuState(NamedTuple):
     filt_theta: jnp.ndarray       # (_OBJ_FILTER_CAP,) obj-constr filter
     filt_f: jnp.ndarray
     filt_size: jnp.ndarray
+    # r4 additions (negative sentinel = "not computed yet"):
+    mu_max_dyn: jnp.ndarray = None       # mu_max_fact * avg_compl at start
+    init_dual_inf: jnp.ndarray = None    # safeguard references
+    init_primal_inf: jnp.ndarray = None  # (IpAdaptiveMuUpdate.cpp:766-774)
+    just_switched: jnp.ndarray = None    # switched free->monotone this call
 
 
 def adaptive_mu_init(dtype) -> AdaptiveMuState:
     inf = jnp.full((_OBJ_FILTER_CAP,), jnp.inf, dtype)
+    neg = jnp.asarray(-1.0, dtype)
     return AdaptiveMuState(free_mode=jnp.ones((), bool),
                            ref_kkt_error=jnp.asarray(jnp.inf, dtype),
                            no_progress_count=jnp.zeros((), jnp.int32),
                            filt_theta=inf, filt_f=inf,
-                           filt_size=jnp.zeros((), jnp.int32))
+                           filt_size=jnp.zeros((), jnp.int32),
+                           mu_max_dyn=neg, init_dual_inf=neg,
+                           init_primal_inf=neg,
+                           just_switched=jnp.zeros((), bool))
 
 
 def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
                        oracle_mu, dual_s, primal, compl_fn,
-                       theta_curr=None, f_curr=None) -> tuple:
+                       theta_curr=None, f_curr=None,
+                       avg_compl_val=None, dual1_avg=None, primal1_avg=None,
+                       fix_mu_val=None) -> tuple:
     """One adaptive update (IpAdaptiveMuUpdate.cpp:78-139, kkt-error
     globalization).  Returns (new AdaptiveMuState, new MuState).
 
-    Free mode: mu straight from the oracle (clipped to [mu_min, mu_max]).
+    Free mode: mu straight from the oracle, floored by the lower-mu
+    safeguard (adaptive_mu_safeguard_factor, :748-787) and capped at mu_max
+    — which, while at its registered default, is initialized dynamically to
+    mu_max_fact * avg_compl at the first call (:269-275).
     Globalization: the scaled KKT error E_0 must shrink by
     ``adaptive_mu_kkterror_red_fact`` within ``adaptive_mu_kkterror_red_iters``
     iterations, else fall back to monotone (Fiacco-McCormick) mode; return to
-    free mode once the barrier problem for the monotone mu is solved.
+    free mode once the barrier problem for the monotone mu is solved.  The
+    monotone entry level comes from ``fix_mu_val`` (the fixed_mu_oracle
+    value; None = the average_compl fallback, NewFixedMu :583-623).
     """
     # adaptive_mu_kkt_norm_type (IpAdaptiveMuUpdate.cpp): combine the three
     # component norms per the selected norm (components themselves are
@@ -299,7 +349,37 @@ def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
     else:  # "max-norm"
         kkt_error = jnp.maximum(jnp.maximum(dual_s, primal), compl0)
 
-    mu_free = jnp.clip(oracle_mu, opts.mu_min, opts.mu_max)
+    # --- effective mu_max (mu_max_fact, IpAdaptiveMuUpdate.cpp:269-275):
+    # while mu_max is at its registered default the cap comes from
+    # mu_max_fact * avg_compl frozen at the first adaptive call.
+    from ..options import Options as _O
+    _mu_max_is_default = opts.mu_max == _O.__dataclass_fields__[
+        "mu_max"].default
+    mu_max_dyn = ams.mu_max_dyn
+    if _mu_max_is_default and avg_compl_val is not None:
+        mu_max_dyn = jnp.where(ams.mu_max_dyn < 0,
+                               opts.mu_max_fact * avg_compl_val,
+                               ams.mu_max_dyn)
+        mu_max_eff = jnp.where(mu_max_dyn > 0, mu_max_dyn, opts.mu_max)
+    else:
+        mu_max_eff = jnp.asarray(opts.mu_max, oracle_mu.dtype)
+
+    # --- lower-mu safeguard (adaptive_mu_safeguard_factor, :748-787) ------
+    init_d, init_p = ams.init_dual_inf, ams.init_primal_inf
+    if opts.adaptive_mu_safeguard_factor != 0.0 and dual1_avg is not None:
+        init_d = jnp.where(init_d < 0, jnp.maximum(1.0, dual1_avg), init_d)
+        init_p = jnp.where(init_p < 0, jnp.maximum(1.0, primal1_avg), init_p)
+        mu_guard = jnp.maximum(
+            opts.adaptive_mu_safeguard_factor * dual1_avg / init_d,
+            opts.adaptive_mu_safeguard_factor * primal1_avg / init_p)
+        if opts.adaptive_mu_globalization == "kkt-error":
+            mu_guard = jnp.minimum(mu_guard, ams.ref_kkt_error)
+    else:
+        mu_guard = jnp.zeros((), oracle_mu.dtype)
+
+    mu_free = jnp.minimum(
+        jnp.maximum(jnp.maximum(oracle_mu, opts.mu_min), mu_guard),
+        mu_max_eff)
     tau_free = jnp.maximum(opts.tau_min, 1.0 - mu_free)
 
     filt_theta, filt_f, filt_size = ams.filt_theta, ams.filt_f, ams.filt_size
@@ -339,8 +419,20 @@ def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
             ams.free_mode, count >= opts.adaptive_mu_kkterror_red_iters)
 
     # Monotone mode machinery (switch back once sub-problem converged).
-    mono_entry_mu = jnp.minimum(
-        ms.mu, opts.adaptive_mu_monotone_init_factor * compl_fn(0.0) + opts.mu_min)
+    # Entry level = NewFixedMu (IpAdaptiveMuUpdate.cpp:583-623): the
+    # fixed_mu_oracle value (``fix_mu_val``), falling back to
+    # adaptive_mu_monotone_init_factor * avg_compl, floored by the lower-mu
+    # safeguard and mu_min.
+    if fix_mu_val is not None:
+        mono_entry_mu = fix_mu_val
+    elif avg_compl_val is not None:
+        mono_entry_mu = (opts.adaptive_mu_monotone_init_factor
+                         * avg_compl_val)
+    else:
+        mono_entry_mu = (opts.adaptive_mu_monotone_init_factor
+                         * compl_fn(0.0))
+    mono_entry_mu = jnp.maximum(jnp.maximum(mono_entry_mu, mu_guard),
+                                opts.mu_min)
     ms_for_mono = MuState(
         mu=jnp.where(switch_to_monotone, mono_entry_mu, ms.mu),
         tau=ms.tau)
@@ -361,5 +453,7 @@ def adaptive_mu_update(opts: Options, ams: AdaptiveMuState, ms: MuState,
         ref_kkt_error=jnp.where(switch_to_monotone,
                                 jnp.asarray(jnp.inf, kkt_error.dtype), new_ref),
         no_progress_count=jnp.where(switch_to_monotone, 0, count),
-        filt_theta=filt_theta, filt_f=filt_f, filt_size=filt_size)
+        filt_theta=filt_theta, filt_f=filt_f, filt_size=filt_size,
+        mu_max_dyn=mu_max_dyn, init_dual_inf=init_d, init_primal_inf=init_p,
+        just_switched=switch_to_monotone)
     return new_ams, MuState(mu=mu, tau=tau)

@@ -358,10 +358,33 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             mu_orc = quality_function_mu(nlp, it, opts, step_aff, step_cent,
                                          dual_inf / s_d, primal_inf, st.tau)
         theta_curr = jnp.sum(jnp.abs(ev.c)) + jnp.sum(jnp.abs(ev.d - it.s))
+        # r4: safeguard/mu_max/fixed-oracle inputs (IpAdaptiveMuUpdate.cpp)
+        from .mu import avg_complementarity as _avgc
+        avg_compl_val, _ = _avgc(nlp, it)
+        dual1_avg = ((jnp.sum(jnp.abs(res0.grad_lag_x))
+                      + jnp.sum(jnp.abs(res0.grad_lag_s)))
+                     / jnp.maximum(nlp.n + nlp.mi, 1))
+        primal1_avg = ((jnp.sum(jnp.abs(res0.c))
+                        + jnp.sum(jnp.abs(res0.d_minus_s)))
+                       / jnp.maximum(nlp.me + nlp.mi, 1))
+        if opts.fixed_mu_oracle == "loqo":
+            fix_mu_val = loqo_mu(nlp, it, opts)
+        elif opts.fixed_mu_oracle == "probing":
+            fix_mu_val = probing_mu(nlp, it, opts, step_aff)
+        elif opts.fixed_mu_oracle == "quality-function":
+            fix_mu_val = quality_function_mu(nlp, it, opts, step_aff,
+                                             step_cent, dual_inf / s_d,
+                                             primal_inf, st.tau)
+        else:  # "average_compl" (the reference default fallback)
+            fix_mu_val = None
         ams, ms = adaptive_mu_update(opts, st.ams, MuState(st.mu, st.tau),
                                      mu_orc, dual_inf / s_d, primal_inf,
                                      compl_fn, theta_curr=theta_curr,
-                                     f_curr=ev.f)
+                                     f_curr=ev.f,
+                                     avg_compl_val=avg_compl_val,
+                                     dual1_avg=dual1_avg,
+                                     primal1_avg=primal1_avg,
+                                     fix_mu_val=fix_mu_val)
         mu, tau = ms.mu, ms.tau
         step = jax.tree.map(lambda a, c: a + mu * c, step_aff, step_cent)
         sr = StepResult(step=step, delta_x=fr.delta_x, delta_c=fr.delta_c,
@@ -370,8 +393,15 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                         fac=fr.fac, K=fr.K)
     else:
         # Monotone Fiacco-McCormick (the default).
+        # mu_allow_fast_monotone_decrease=no limits each update to a single
+        # level except the very first (IpMonotoneMuUpdate.cpp:170-182).
+        if opts.mu_allow_fast_monotone_decrease:
+            _rounds_cap = None
+        else:
+            _rounds_cap = jnp.where(st.iter_count == 0, 30, 1).astype(jnp.int32)
         ms = monotone_mu_update_components(
-            opts, MuState(st.mu, st.tau), dual_inf / s_d, primal_inf, compl_fn)
+            opts, MuState(st.mu, st.tau), dual_inf / s_d, primal_inf, compl_fn,
+            max_rounds=_rounds_cap)
         mu, tau = ms.mu, ms.tau
         if opts.inexact_algorithm:
             from .inexact import inexact_search_direction
@@ -755,6 +785,17 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             status == int(SolverReturn.CONTINUE),
             jnp.logical_not(keep_going)),
             int(SolverReturn.USER_REQUESTED_STOP), status)
+
+    # --- adaptive_mu_restore_previous_iterate (IpAdaptiveMuUpdate.cpp:
+    #     362-370): when the globalization just fell back to monotone mode,
+    #     restart it from the most recent accepted point.  (The reference
+    #     restores before computing the step; here the restore replaces this
+    #     iteration's move — one extra outer iteration, same effect.)
+    if (opts.adaptive_mu_restore_previous_iterate
+            and (opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm)):
+        new_it = jax.tree.map(
+            lambda cur, saved: jnp.where(ams.just_switched, saved, cur),
+            new_it, st.accepted_point)
 
     # --- CheckConvergence at the NEW point --------------------------------
     ev_new = evaluate(nlp, new_it.x)

@@ -198,6 +198,59 @@ def test_limited_memory_initialization_strategies():
                                    err_msg=strat)
 
 
+def _mu_trace(nlp, **kw):
+    mus = []
+    res = solve(nlp, print_level=0, tol=1e-8,
+                intermediate_callback=lambda **k: mus.append(k["mu"]), **kw)
+    return res, mus
+
+
+def test_mu_allow_fast_monotone_decrease():
+    """IpMonotoneMuUpdate.cpp:170-182: disabling fast decrease holds mu to
+    one level per iteration -> more iterations on hs071's endgame."""
+    fast, tr_fast = _mu_trace(hs071())
+    slow, tr_slow = _mu_trace(hs071(), mu_allow_fast_monotone_decrease=False)
+    assert int(slow.status) == int(SolverReturn.SUCCESS)
+    assert tr_fast != tr_slow
+    assert int(slow.iter_count) >= int(fast.iter_count)
+
+
+def test_adaptive_mu_safeguard_factor():
+    """IpAdaptiveMuUpdate.cpp:748-787: a positive safeguard floors the
+    oracle mu at factor * (infeasibility / initial infeasibility)."""
+    base, tr0 = _mu_trace(hs071(), mu_strategy="adaptive")
+    guarded, tr1 = _mu_trace(hs071(), mu_strategy="adaptive",
+                             adaptive_mu_safeguard_factor=0.01)
+    assert int(guarded.status) in (int(SolverReturn.SUCCESS),
+                                   int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+    assert tr0 != tr1
+
+
+def test_mu_max_fact():
+    """IpAdaptiveMuUpdate.cpp:269-275: while mu_max is at its default the
+    cap is mu_max_fact * initial average complementarity."""
+    base, tr0 = _mu_trace(hs071(), mu_strategy="adaptive")
+    capped, tr1 = _mu_trace(hs071(), mu_strategy="adaptive",
+                            mu_max_fact=1e-3)
+    assert int(capped.status) in (int(SolverReturn.SUCCESS),
+                                  int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+    assert tr0 != tr1
+    assert max(tr1) <= max(tr0)
+
+
+def test_quality_function_section_sigma_tol():
+    """IpQualityFunctionMuOracle.cpp:698-790: a loose section tolerance
+    stops the golden-section search earlier -> different oracle mu."""
+    a, tr0 = _mu_trace(hs071(), mu_strategy="adaptive",
+                       mu_oracle="quality-function")
+    b, tr1 = _mu_trace(hs071(), mu_strategy="adaptive",
+                       mu_oracle="quality-function",
+                       quality_function_section_sigma_tol=0.9)
+    assert int(b.status) in (int(SolverReturn.SUCCESS),
+                             int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+    assert tr0 != tr1
+
+
 def test_filter_reset_machinery():
     """Drive one ipm step from a state whose filter blocks everything and
     whose last rejection was filter-caused: with the trigger reached the
