@@ -171,7 +171,14 @@ def _trial_point(it: Iterate, step: Iterate, alpha, alpha_dual):
 
 def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
                 sr: StepResult, mu, tau, fs: FilterState,
-                theta_min, theta_max, penalty_nu=None) -> LineSearchResult:
+                theta_min, theta_max, penalty_nu=None,
+                corr=None) -> LineSearchResult:
+    """``corr`` (optional): a higher-order corrector pre-trial
+    (FilterLSAcceptor::TryCorrector, IpFilterLSAcceptor.cpp:655-880) —
+    a dict with ``trial`` (Iterate), ``alpha_pr``, ``alpha_du``, ``active``
+    (dynamic bool).  The corrector trial is tested FIRST against the filter
+    (at the uncorrected first-trial step size, :846); if acceptable the
+    backtracking loop never runs."""
     dtype = it.x.dtype
     step = sr.step
     use_penalty = opts.line_search_method == "penalty"
@@ -365,11 +372,30 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     it0 = _trial_point(it, step, alpha_max, alpha_dual)
     first0 = (it0, ev.f, ev.c, ev.d, jnp.asarray(jnp.inf, dtype),
               jnp.asarray(jnp.inf, dtype))
+    # --- corrector pre-trial (TryCorrector): test the corrected full step
+    # against the acceptance criteria at the UNCORRECTED first-trial alpha;
+    # on success the init carry is already done/accepted and the loop body
+    # never executes.
+    corr_acc = jnp.zeros((), bool)
+    corr_tuple = None
+    if corr is not None:
+        c_it, c_f, c_c, c_d, c_th, c_ph = _eval_trial_magic(
+            nlp, opts, corr["trial"], mu)
+        c_ok, c_ftype = acceptable(alpha_max, c_th, c_ph)
+        corr_acc = jnp.logical_and(c_ok, corr["active"])
+        corr_tuple = (c_it, c_f, c_c, c_d, c_ftype)
     init = Carry(k=jnp.zeros((), jnp.int32), alpha=alpha_max,
-                 done=jnp.zeros((), bool), accepted=jnp.zeros((), bool),
-                 ftype=jnp.zeros((), bool), it_t=it0, f_t=ev.f, c_t=ev.c,
-                 d_t=ev.d, first=first0,
-                 used_soc=jnp.zeros((), bool), alpha_used=alpha_max,
+                 done=corr_acc, accepted=corr_acc,
+                 ftype=(corr_tuple[4] if corr_tuple is not None
+                        else jnp.zeros((), bool)),
+                 it_t=(corr_tuple[0] if corr_tuple is not None else it0),
+                 f_t=(corr_tuple[1] if corr_tuple is not None else ev.f),
+                 c_t=(corr_tuple[2] if corr_tuple is not None else ev.c),
+                 d_t=(corr_tuple[3] if corr_tuple is not None else ev.d),
+                 first=first0,
+                 used_soc=jnp.zeros((), bool),
+                 alpha_used=(corr["alpha_pr"] if corr is not None
+                             else alpha_max),
                  n_soc_rounds=jnp.zeros((), jnp.int32),
                  rej_filter=jnp.zeros((), bool))
 
@@ -399,7 +425,8 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         theta_curr=theta, phi_curr=phi, penalty_nu=nu,
         first_trial=f_it, first_f=f_f, first_c=f_c, first_d=f_d,
         first_theta=f_th, first_phi=f_ph,
-        n_evals=out.k + out.n_soc_rounds, n_soc_rounds=out.n_soc_rounds,
+        n_evals=out.k + out.n_soc_rounds + (1 if corr is not None else 0),
+        n_soc_rounds=out.n_soc_rounds,
         last_rej_filter=out.rej_filter)
 
 

@@ -445,6 +445,101 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         jnp.logical_and(is_tiny, dy_norm < opts.tiny_step_y_tol),
         st.tiny_step_count + 1, 0)
 
+    # --- Higher-order corrector (FilterLSAcceptor::TryCorrector,
+    #     IpFilterLSAcceptor.cpp:655-880): build the corrected full step
+    #     before the line search; the search tests it first.  The increment
+    #     solves the SAME factorized system with a pure complementarity-block
+    #     RHS, reduced onto the condensed system as
+    #     (S_L^-1 r_zL - S_U^-1 r_zU, ...) with zero c/d rows.
+    corr = None
+    _corr_capable = (opts.corrector_type != "none"
+                     and not opts.inexact_algorithm
+                     and opts.line_search_method != "cg-penalty"
+                     and opts.linear_solver != "minres")
+    if _corr_capable:
+        from .step import solve_any as _solve_any2
+        from .step import direction_from_parts as _dfp2
+        from ..kkt import slacks as _slacks
+        from ..kkt import fraction_to_boundary as _ftb_corr
+        free_flag = (ams.free_mode if (opts.mu_strategy == "adaptive"
+                                       or opts.mehrotra_algorithm)
+                     else jnp.zeros((), bool))
+        active = jnp.logical_not(sr.failed)
+        if opts.skip_corr_in_monotone_mode:
+            # corrector only in free mu mode (IpFilterLSAcceptor.cpp:663)
+            active = jnp.logical_and(active, free_flag)
+        if opts.skip_corr_if_neg_curv:
+            # skip when the Hessian was perturbed (info_regu_x != 0, :662)
+            active = jnp.logical_and(active, sr.delta_x == 0.0)
+        nb_total = (jnp.sum(nlp.has_xL) + jnp.sum(nlp.has_xU)
+                    + jnp.sum(nlp.has_dL) + jnp.sum(nlp.has_dU))
+        active = jnp.logical_and(active, nb_total > 0)
+        if opts.mu_strategy == "adaptive" or opts.mehrotra_algorithm:
+            d_aff = step_aff        # already computed for the oracle
+        elif opts.corrector_type == "affine":
+            from ..kkt import condensed_rhs_parts as _crhsp2
+            parts_a = _crhsp2(nlp, it, ev, 0.0, opts.kappa_d)
+            split_a, _ = _solve_any2(nlp, opts, sr.fac, sr.K, parts_a)
+            d_aff = _dfp2(nlp, it, split_a, 0.0, sr.failed)
+        else:
+            d_aff = None
+        sl_xL, sl_xU, sl_sL, sl_sU = _slacks(nlp, it)
+        stp = sr.step
+        if opts.corrector_type == "affine":
+            # classic MPC second-order term (:689-748)
+            r_zL = jnp.where(nlp.has_xL, -d_aff.x * d_aff.z_L, 0.0)
+            r_zU = jnp.where(nlp.has_xU, d_aff.x * d_aff.z_U, 0.0)
+            r_vL = jnp.where(nlp.has_dL, -d_aff.s * d_aff.v_L, 0.0)
+            r_vU = jnp.where(nlp.has_dU, d_aff.s * d_aff.v_U, 0.0)
+        else:
+            # "primal-dual": full complementarity residual at the predicted
+            # point, targeting mu (:751-798)
+            r_zL = jnp.where(nlp.has_xL,
+                             mu - (sl_xL + stp.x) * (it.z_L + stp.z_L), 0.0)
+            r_zU = jnp.where(nlp.has_xU,
+                             mu - (sl_xU - stp.x) * (it.z_U + stp.z_U), 0.0)
+            r_vL = jnp.where(nlp.has_dL,
+                             mu - (sl_sL + stp.s) * (it.v_L + stp.v_L), 0.0)
+            r_vU = jnp.where(nlp.has_dU,
+                             mu - (sl_sU - stp.s) * (it.v_U + stp.v_U), 0.0)
+        parts_c = (jnp.where(nlp.has_xL, r_zL / sl_xL, 0.0)
+                   - jnp.where(nlp.has_xU, r_zU / sl_xU, 0.0),
+                   jnp.where(nlp.has_dL, r_vL / sl_sL, 0.0)
+                   - jnp.where(nlp.has_dU, r_vU / sl_sU, 0.0),
+                   jnp.zeros((nlp.me,), it.x.dtype),
+                   jnp.zeros((nlp.mi,), it.x.dtype))
+        split_c, _ = _solve_any2(nlp, opts, sr.fac, sr.K, parts_c)
+        dx2, ds2, dyc2, dyd2 = split_c
+        dz_L2 = jnp.where(nlp.has_xL, (r_zL - it.z_L * dx2) / sl_xL, 0.0)
+        dz_U2 = jnp.where(nlp.has_xU, (r_zU + it.z_U * dx2) / sl_xU, 0.0)
+        dv_L2 = jnp.where(nlp.has_dL, (r_vL - it.v_L * ds2) / sl_sL, 0.0)
+        dv_U2 = jnp.where(nlp.has_dU, (r_vU + it.v_U * ds2) / sl_sU, 0.0)
+        d_corr = Iterate(x=stp.x + dx2, s=stp.s + ds2,
+                         y_c=stp.y_c + dyc2, y_d=stp.y_d + dyd2,
+                         z_L=stp.z_L + dz_L2, z_U=stp.z_U + dz_U2,
+                         v_L=stp.v_L + dv_L2, v_U=stp.v_U + dv_U2)
+        a_pr_c, a_du_c = _ftb_corr(nlp, it, d_corr, tau)
+        trial_c = Iterate(
+            x=it.x + a_pr_c * d_corr.x, s=it.s + a_pr_c * d_corr.s,
+            y_c=it.y_c + a_pr_c * d_corr.y_c,
+            y_d=it.y_d + a_pr_c * d_corr.y_d,
+            z_L=it.z_L + a_du_c * d_corr.z_L,
+            z_U=it.z_U + a_du_c * d_corr.z_U,
+            v_L=it.v_L + a_du_c * d_corr.v_L,
+            v_U=it.v_U + a_du_c * d_corr.v_U)
+        if opts.corrector_type == "affine":
+            # reject when the trial complementarity did not shrink enough
+            # (corrector_compl_avrg_red_fact, :826-840)
+            from .mu import avg_complementarity as _avgc2
+            avg_curr, _ = _avgc2(nlp, it)
+            avg_trial, _ = _avgc2(nlp, trial_c)
+            active = jnp.logical_and(
+                active,
+                avg_trial < opts.corrector_compl_avrg_red_fact * avg_curr)
+        corr = dict(trial=trial_c, alpha_pr=a_pr_c, alpha_du=a_du_c,
+                    active=active)
+        _extra_solves += 1  # the corrector backsolve (TryCorrector timing)
+
     # --- Filter-reset heuristic (IpFilterLSAcceptor.cpp:402-420): when the
     # last trial rejection was filter-caused in filter_reset_trigger
     # successive iterations, clear the filter (at most max_filter_resets
@@ -478,7 +573,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         ls = ls._replace(filter=st.fs)  # the CG method keeps no filter
     else:
         ls = line_search(nlp, opts, it, ev, sr, mu, tau, fs_in,
-                         st.theta_min, st.theta_max, penalty_nu=st.penalty_nu)
+                         st.theta_min, st.theta_max, penalty_nu=st.penalty_nu,
+                         corr=corr)
     lrf_next = (ls.last_rej_filter if ls.last_rej_filter is not None
                 else jnp.zeros((), bool))
 

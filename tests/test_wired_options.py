@@ -251,6 +251,34 @@ def test_quality_function_section_sigma_tol():
     assert tr0 != tr1
 
 
+@pytest.mark.parametrize("ctype", ["affine", "primal-dual"])
+def test_corrector_type(ctype):
+    """FilterLSAcceptor::TryCorrector (IpFilterLSAcceptor.cpp:655-880): the
+    corrector-augmented first trial changes the trajectory and still
+    converges to the reference optimum."""
+    base, tr0 = _mu_trace(hs071(), mehrotra_algorithm=True)
+    corr, tr1 = _mu_trace(hs071(), mehrotra_algorithm=True,
+                          corrector_type=ctype)
+    assert int(corr.status) == int(SolverReturn.SUCCESS)
+    np.testing.assert_allclose(float(corr.obj), 17.0140171451792, rtol=1e-7)
+    assert tr0 != tr1
+
+
+def test_corrector_skip_in_monotone_mode():
+    """skip_corr_in_monotone_mode (default yes) makes the corrector inert
+    under the pure-monotone strategy; disabling it activates the corrector
+    (with its own affine solve)."""
+    base = solve(hs071(), print_level=0, tol=1e-8)
+    inert = solve(hs071(), print_level=0, tol=1e-8,
+                  corrector_type="affine")      # skipped: monotone mode
+    active = solve(hs071(), print_level=0, tol=1e-8, corrector_type="affine",
+                   skip_corr_in_monotone_mode=False)
+    assert int(inert.iter_count) == int(base.iter_count)
+    assert int(active.status) == int(SolverReturn.SUCCESS)
+    np.testing.assert_allclose(float(active.obj), 17.0140171451792,
+                               rtol=1e-7)
+
+
 def test_filter_reset_machinery():
     """Drive one ipm step from a state whose filter blocks everything and
     whose last rejection was filter-caused: with the trigger reached the
