@@ -33,7 +33,7 @@ from ..types import Iterate
 from ..options import Options
 from ..kkt import SigmaBlocks, sigmas
 from ..linalg.block_tridiag import (BTDMatrix, bcr_factorize, bcr_solve,
-                                    BCRFactor)
+                                    BCRFactor, btd_cast)
 from ..chained import ChainInfo, stage_jacobians, stage_hessians
 
 
@@ -169,7 +169,8 @@ def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
 
     def factor(delta_x, delta_c):
         Kbtd = assemble_btd(nlp, it, AB, Wblocks, delta_x, delta_c)
-        fac = bcr_factorize(Kbtd, pivot_tol=opts.ldlt_pivot_tol,
+        fac = bcr_factorize(btd_cast(Kbtd, opts.factorization_dtype),
+                            pivot_tol=opts.ldlt_pivot_tol,
                             equilibrate=opts.linear_system_scaling == "mc19")
         ok = jnp.logical_and(
             jnp.logical_and(fac.num_pos == exp_pos, fac.num_neg == exp_neg),
@@ -223,18 +224,38 @@ def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
 
 def chained_solve_refined(Kbtd: BTDMatrix, fac: BCRFactor, rhs_flat,
                           opts: Options):
-    """bcr solve + iterative refinement against the assembled BTD matrix."""
+    """bcr solve + iterative refinement against the assembled BTD matrix.
+
+    refinement_precision='double' (see step.solve_with_refinement): the
+    solution accumulates and the BTD residual matvec runs in float64 while
+    the BCR factorization stays in the model dtype — the TPU f32 path's
+    route to ~1e-7 tolerances at residual-only f64 cost."""
     from jax import lax
-    sol = bcr_solve(fac, rhs_flat)
-    rhs_norm = jnp.maximum(jnp.max(jnp.abs(rhs_flat)), 1e-30)
+    # output dtype follows the assembled system (rhs may be f64 under the
+    # high-precision-residual mode); the factorization may be lower
+    # precision still (factorization_dtype)
+    model_dt = Kbtd.diag.dtype
+    fac_dt = fac.Ainv_root.dtype
+    precise = opts.refinement_precision == "double"
+    acc_dt = jnp.float64 if precise else model_dt
+
+    sol = bcr_solve(fac, rhs_flat.astype(fac_dt)).astype(acc_dt)
+    rhs_a = rhs_flat.astype(acc_dt)
+    if precise:
+        K_a = BTDMatrix(diag=Kbtd.diag.astype(acc_dt),
+                        sub=Kbtd.sub.astype(acc_dt))
+    else:
+        K_a = Kbtd
+    rhs_norm = jnp.maximum(jnp.max(jnp.abs(rhs_a)),
+                           jnp.asarray(1e-30, acc_dt))
 
     def ratio(s):
-        return jnp.max(jnp.abs(rhs_flat - Kbtd.matvec(s))) / rhs_norm
+        return jnp.max(jnp.abs(rhs_a - K_a.matvec(s))) / rhs_norm
 
     def body(carry):
-        i, sol, _ = carry
-        r = rhs_flat - Kbtd.matvec(sol)
-        sol = sol + bcr_solve(fac, r)
+        i, sol, rr_prev = carry
+        r = rhs_a - K_a.matvec(sol)
+        sol = sol + bcr_solve(fac, r.astype(fac_dt)).astype(acc_dt)
         return i + 1, sol, ratio(sol)
 
     def cond(carry):
@@ -245,7 +266,24 @@ def chained_solve_refined(Kbtd: BTDMatrix, fac: BCRFactor, rhs_flat,
                             rr > opts.residual_ratio_max))
 
     if opts.fast_step_computation:
-        return sol, jnp.zeros((), rhs_flat.dtype)
-    _, sol, rr = lax.while_loop(cond, body,
-                                (jnp.zeros((), jnp.int32), sol, ratio(sol)))
-    return sol, rr
+        return sol.astype(model_dt), jnp.zeros((), model_dt)
+
+    if opts.residual_improvement_factor < 1e19:
+        def body_imp(carry):
+            i, sol, rr_prev = carry
+            i2, sol2, rr2 = body((i, sol, rr_prev))
+            improved = rr2 <= opts.residual_improvement_factor * rr_prev
+            keep = jnp.logical_or(improved, i < opts.min_refinement_steps)
+            sol_out = jnp.where(keep, sol2, sol)
+            rr_out = jnp.where(keep, rr2, rr_prev)
+            i_out = jnp.where(keep, i2,
+                              jnp.asarray(opts.max_refinement_steps,
+                                          jnp.int32))
+            return i_out, sol_out, rr_out
+
+        _, sol, rr = lax.while_loop(
+            cond, body_imp, (jnp.zeros((), jnp.int32), sol, ratio(sol)))
+    else:
+        _, sol, rr = lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), sol, ratio(sol)))
+    return sol.astype(model_dt), rr.astype(model_dt)

@@ -270,9 +270,36 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                    enable_resto: bool) -> IPMState:
     """One outer IPM iteration (the body of IpIpoptAlg.cpp:347-417)."""
     it = st.it
+    # High-precision critical path (refinement_precision='double'): the
+    # once-per-iteration evaluation at the accepted point runs in float64
+    # (x cast up; the f32 iterate's residuals are then exact to ~1e-16),
+    # so the convergence error E and the KKT right-hand side resolve below
+    # the f32 noise floor while the factorization and line search stay in
+    # the model dtype.  This is what lets an f32 TPU run reach tol <= 1e-7
+    # (reference double-build default 1e-8, IpIpoptData.cpp:27-38).
+    from .step import _backend as _be_fn
+    _hp = (opts.refinement_precision == "double"
+           and _be_fn(nlp) in ("dense", "btd", "banded")
+           and not opts.inexact_algorithm
+           and opts.line_search_method != "cg-penalty"
+           and opts.linear_solver not in ("minres", "custom"))
+    _acc = jnp.float64 if _hp else it.x.dtype
+    _model = it.x.dtype
     # Reuse the evaluation cache filled at the end of the previous iteration
     # (or by initial_state) — no re-evaluation at the loop top.
-    ev = _evals_from_cache(nlp, it.x, st.ev)
+    ev = _evals_from_cache(nlp, it.x.astype(_acc), st.ev)
+    if _hp:
+        # model-precision view for the factorization assembly, line search,
+        # and quasi-Newton pairs (the f64 view feeds residuals + RHS only)
+        ev_lo = Evals(
+            f=ev.f.astype(_model), grad_f=ev.grad_f.astype(_model),
+            c=ev.c.astype(_model), d=ev.d.astype(_model),
+            J_c=None if ev.J_c is None else ev.J_c.astype(_model),
+            J_d=None if ev.J_d is None else ev.J_d.astype(_model),
+            jc_t=(lambda y: ev.jc_t(y).astype(_model)),
+            jd_t=(lambda y: ev.jd_t(y).astype(_model)))
+    else:
+        ev_lo = ev
 
     # --- UpdateBarrierParameter -------------------------------------------
     s_d, s_c = _scaling_s(nlp, it, opts.s_max)
@@ -337,7 +364,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         # is the bound-multiplier recovery.
         from .step import factorize_any, solve_any, direction_from_parts
         from ..kkt import condensed_rhs_parts as _crhsp
-        fr = factorize_any(nlp, opts, it, ev, W, st.mu, st.delta_w_last)
+        fr = factorize_any(nlp, opts, it, ev_lo, W, st.mu, st.delta_w_last)
         parts0 = _crhsp(nlp, it, ev, 0.0, opts.kappa_d)
         parts1 = _crhsp(nlp, it, ev, 1.0, opts.kappa_d)
         dparts = jax.tree.map(lambda a, b: b - a, parts0, parts1)
@@ -363,10 +390,10 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         avg_compl_val, _ = _avgc(nlp, it)
         dual1_avg = ((jnp.sum(jnp.abs(res0.grad_lag_x))
                       + jnp.sum(jnp.abs(res0.grad_lag_s)))
-                     / jnp.maximum(nlp.n + nlp.mi, 1))
+                     / jnp.maximum(nlp.n + nlp.mi, 1)).astype(_model)
         primal1_avg = ((jnp.sum(jnp.abs(res0.c))
                         + jnp.sum(jnp.abs(res0.d_minus_s)))
-                       / jnp.maximum(nlp.me + nlp.mi, 1))
+                       / jnp.maximum(nlp.me + nlp.mi, 1)).astype(_model)
         if opts.fixed_mu_oracle == "loqo":
             fix_mu_val = loqo_mu(nlp, it, opts)
         elif opts.fixed_mu_oracle == "probing":
@@ -406,17 +433,17 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         if opts.inexact_algorithm:
             from .inexact import inexact_search_direction
             sr, new_tr_omega, inaux = inexact_search_direction(
-                nlp, opts, it, ev, mu, st.delta_w_last, st.tr_omega)
+                nlp, opts, it, ev_lo, mu, st.delta_w_last, st.tr_omega)
         elif opts.linear_solver == "minres":
             from .matrix_free import mf_search_direction
-            sr = mf_search_direction(nlp, opts, it, ev, mu, st.delta_w_last)
+            sr = mf_search_direction(nlp, opts, it, ev_lo, mu, st.delta_w_last)
         elif opts.line_search_method == "cg-penalty":
             from .cg_penalty import cg_search_direction
             sr, cg_state, cg_aux = cg_search_direction(
-                nlp, opts, it, ev, W, mu, st.delta_w_last, st.cg)
+                nlp, opts, it, ev_lo, W, mu, st.delta_w_last, st.cg)
         else:
-            sr = compute_search_direction(nlp, opts, it, ev, W, mu,
-                                          st.delta_w_last)
+            sr = compute_search_direction(nlp, opts, it, ev_lo, W, mu,
+                                          st.delta_w_last, ev_rhs=ev)
 
     # --- Tiny-step detection (BacktrackingLineSearch tiny_step_tol) -------
     # When the scaled step is at machine-precision level, further progress is
@@ -564,15 +591,15 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     if opts.inexact_algorithm:
         from .inexact import inexact_line_search
         ls, _nu_new, nu_low_state = inexact_line_search(
-            nlp, opts, it, ev, sr, mu, tau, st.penalty_nu, st.nu_low, inaux)
+            nlp, opts, it, ev_lo, sr, mu, tau, st.penalty_nu, st.nu_low, inaux)
         ls = ls._replace(filter=st.fs)  # penalty search keeps no filter
     elif opts.line_search_method == "cg-penalty":
         from .cg_penalty import cg_line_search
-        ls, cg_state = cg_line_search(nlp, opts, it, ev, sr, mu, tau,
+        ls, cg_state = cg_line_search(nlp, opts, it, ev_lo, sr, mu, tau,
                                       cg_state, cg_aux)
         ls = ls._replace(filter=st.fs)  # the CG method keeps no filter
     else:
-        ls = line_search(nlp, opts, it, ev, sr, mu, tau, fs_in,
+        ls = line_search(nlp, opts, it, ev_lo, sr, mu, tau, fs_in,
                          st.theta_min, st.theta_max, penalty_nu=st.penalty_nu,
                          corr=corr)
     lrf_next = (ls.last_rej_filter if ls.last_rej_filter is not None
@@ -639,8 +666,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
 
         def _wd_skip(wt):
             big = jnp.asarray(jnp.inf, it.x.dtype)
-            return (big, jnp.full_like(ev.c, jnp.inf),
-                    jnp.full_like(ev.d, jnp.inf), big, big)
+            return (big, jnp.full_like(ev_lo.c, jnp.inf),
+                    jnp.full_like(ev_lo.d, jnp.inf), big, big)
 
         wd_f, wd_c, wd_d, wd_theta, wd_phi = lax.cond(
             jnp.logical_or(in_wd, ls_failed), _wd_eval, _wd_skip, wd_trial)
@@ -777,23 +804,23 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         if _backend(nlp) == "btd":
             from .chained_resto import perform_restoration_chained
             rr = perform_restoration_chained(
-                nlp, opts, resto_opts, it, ev, mu, fs_entry,
+                nlp, opts, resto_opts, it, ev_lo, mu, fs_entry,
                 ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
         elif _backend(nlp) == "arrow":
             from .arrow_resto import perform_restoration_arrow
             rr = perform_restoration_arrow(
-                nlp, opts, resto_opts, it, ev, mu, fs_entry,
+                nlp, opts, resto_opts, it, ev_lo, mu, fs_entry,
                 ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
         elif _backend(nlp) == "banded":
             from .banded_resto import perform_restoration_banded
             rr = perform_restoration_banded(
-                nlp, opts, resto_opts, it, ev, mu, fs_entry,
+                nlp, opts, resto_opts, it, ev_lo, mu, fs_entry,
                 ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
         else:
             from .restoration import build_resto_nlp, perform_restoration
             resto_nlp = build_resto_nlp(nlp, opts)
             rr = perform_restoration(
-                nlp, resto_nlp, opts, resto_opts, it, ev, mu, fs_entry,
+                nlp, resto_nlp, opts, resto_opts, it, ev_lo, mu, fs_entry,
                 ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
         new_it = jax.tree.map(lambda a, b: jnp.where(need_resto, b, a),
                               new_it, rr.it)
@@ -894,7 +921,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             new_it, st.accepted_point)
 
     # --- CheckConvergence at the NEW point --------------------------------
-    ev_new = evaluate(nlp, new_it.x)
+    ev_new = evaluate(nlp, new_it.x.astype(_acc))
 
     # --- Watchdog bookkeeping ---------------------------------------------
     wd_enabled = opts.watchdog_shortened_iter_trigger > 0
@@ -916,8 +943,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                                st.wd_trials + 1, 0)
     from .linesearch import _theta as _th
     theta_new = _th(nlp, ev_new.c, ev_new.d, new_it.s,
-                    opts.constraint_violation_norm_type)
-    phi_new = kkt.barrier_obj(nlp, new_it, ev_new.f, mu, opts.kappa_d)
+                    opts.constraint_violation_norm_type).astype(_model)
+    phi_new = kkt.barrier_obj(nlp, new_it, ev_new.f, mu,
+                              opts.kappa_d).astype(_model)
     wd_ref_next = jax.tree.map(lambda a, b: jnp.where(activate, b, a),
                                st.wd_ref, new_it)
     wd_ref_theta_next = jnp.where(activate, theta_new, st.wd_ref_theta)
@@ -948,8 +976,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                                 opts.constraint_violation_norm_type)
         y_c2, y_d2 = lax.cond(theta_acc < opts.recalc_y_feas_tol,
                               _rc_yes, _rc_no,
-                              (new_it, ev_new.grad_f, ev_new.J_c, ev_new.J_d))
-        new_it = new_it._replace(y_c=y_c2, y_d=y_d2)
+                              (new_it, ev_new.grad_f.astype(_model),
+                               ev_new.J_c.astype(_model),
+                               ev_new.J_d.astype(_model)))
+        new_it = new_it._replace(y_c=y_c2.astype(_model),
+                                 y_d=y_d2.astype(_model))
 
     # --- expect_infeasible_problem heuristic state: disarm once the
     #     violation dropped below ctol, or after a restoration entry
@@ -970,7 +1001,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                   + ev_new.jd_t(new_it.y_d))
         gl_old = (ev.grad_f + ev.jc_t(new_it.y_c) + ev.jd_t(new_it.y_d))
         s_vec = new_it.x - it.x
-        y_vec = gl_new - gl_old
+        y_vec = (gl_new - gl_old).astype(_model)
         upd = lbfgs_update(lbfgs, s_vec, y_vec, opts)
         lbfgs = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), lbfgs, upd)
     res_new = kkt_residuals(nlp, new_it, ev_new, 0.0)
@@ -1056,10 +1087,16 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
     # barrier parameter on warm starts instead of restarting from mu_init.
     if it0 is not None and opts.warm_start_target_mu > 0.0:
         opts = opts.replace(mu_init=opts.warm_start_target_mu)
-    ev = evaluate(nlp, it.x)
+    from .step import _backend as _be0
+    _hp0 = (opts.refinement_precision == "double"
+            and _be0(nlp) in ("dense", "btd", "banded")
+            and not opts.inexact_algorithm
+            and opts.line_search_method != "cg-penalty"
+            and opts.linear_solver not in ("minres", "custom"))
+    ev = evaluate(nlp, it.x.astype(jnp.float64) if _hp0 else it.x)
     from .linesearch import _theta as _th0
     theta0 = _th0(nlp, ev.c, ev.d, it.s,
-                  opts.constraint_violation_norm_type)
+                  opts.constraint_violation_norm_type).astype(dtype)
     theta_min = opts.theta_min_fact * jnp.maximum(1.0, theta0)
     theta_max = opts.theta_max_fact * jnp.maximum(1.0, theta0)
     ms = mu_init_state(opts, dtype)
@@ -1222,7 +1259,8 @@ def _solve_canonical(nlp: CanonicalNLP, opts: Options,
 
 
 def solve(problem, options: Optional[Options] = None, it0=None,
-          intermediate_callback=None, **option_kwargs) -> SolveResult:
+          intermediate_callback=None, custom_kkt_solver=None,
+          **option_kwargs) -> SolveResult:
     """Top-level entry (IpoptApplication::OptimizeTNLP equivalent).
 
     ``problem`` may be an ``NLP`` (user spec), a ``ChainedNLP``, a
@@ -1274,6 +1312,12 @@ def solve(problem, options: Optional[Options] = None, it0=None,
         from ..options import register_callback
         opts = opts.replace(
             callback_token=register_callback(intermediate_callback))
+    if custom_kkt_solver is not None:
+        # user-pluggable KKT solver (GenKKTSolverInterface hook)
+        from ..options import register_custom_kkt
+        opts = opts.replace(
+            linear_solver="custom",
+            custom_kkt_token=register_custom_kkt(custom_kkt_solver))
     if opts.linear_solver == "minres" or opts.inexact_algorithm:
         # no saved factorization to reuse for second-order corrections
         opts = opts.replace(max_soc=0)

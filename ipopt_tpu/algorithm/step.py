@@ -63,20 +63,27 @@ def _sym_ruiz_scale(K, sweeps: int = 2):
 
 def _factorize(K, opts: Options):
     """Factorize K, optionally after symmetric equilibration (inertia is
-    congruence-invariant; solves unscale transparently via fac.row_scale)."""
+    congruence-invariant; solves unscale transparently via fac.row_scale).
+
+    factorization_dtype (TPU mixed precision): factorize in the lower
+    precision, refine in the model dtype — the classic mixed-precision
+    iterative-refinement split (the reference's double build + our f32
+    MXU factorizations)."""
     if opts.linear_system_scaling == "mc19":
         d = _sym_ruiz_scale(K)
         Ks = K * d[:, None] * d[None, :]
     else:
         d = None
         Ks = K
+    if opts.factorization_dtype:
+        Ks = Ks.astype(jnp.dtype(opts.factorization_dtype))
     if opts.linear_solver == "dense-ldlt-blocked":
         fac = ldlt_blocked(Ks, block=opts.kkt_block_size,
                            pivot_tol=opts.ldlt_pivot_tol)
     else:
         fac = ldlt(Ks, pivot_tol=opts.ldlt_pivot_tol)
     if d is not None:
-        fac = fac._replace(row_scale=d)
+        fac = fac._replace(row_scale=d.astype(Ks.dtype))
     return fac
 
 
@@ -86,32 +93,69 @@ def solve_with_refinement(K, fac: LDLTResult, rhs, opts: Options):
     Refinement is against the *factorized* (perturbed) matrix; Ipopt refines on
     the full 8-block system, which is equivalent here because the bound
     multiplier rows are eliminated exactly.
-    """
-    sol = ldlt_solve(fac, rhs)
-    rhs_norm = jnp.maximum(jnp.max(jnp.abs(rhs), initial=0.0), 1e-30)
+
+    refinement_precision='double': the solution accumulates and residuals
+    are computed in float64 while the factorization stays in the model
+    dtype — an f32 factorization then reaches ~f64 residual levels (the
+    extra-precise-residual IR theorem; on TPU the f64 cost is residual-only
+    emulated matvecs).  residual_improvement_factor stops refinement when a
+    step no longer improves the residual ratio by that factor."""
+    # the model/output dtype is the ASSEMBLED system's (the rhs may arrive
+    # in f64 under the high-precision-residual mode)
+    model_dt = K.dtype
+    precise = opts.refinement_precision == "double"
+    acc_dt = jnp.float64 if precise else model_dt
+    fac_dt = fac.L.dtype if hasattr(fac, "L") else model_dt
+
+    sol = ldlt_solve(fac, rhs.astype(fac_dt)).astype(acc_dt)
+    rhs_a = rhs.astype(acc_dt)
+    K_a = K.astype(acc_dt)
+    rhs_norm = jnp.maximum(jnp.max(jnp.abs(rhs_a), initial=0.0),
+                           jnp.asarray(1e-30, acc_dt))
 
     def ratio(s):
-        r = rhs - K @ s
+        r = rhs_a - K_a @ s
         return jnp.max(jnp.abs(r), initial=0.0) / rhs_norm
 
     def body(carry):
-        i, sol, _ = carry
-        r = rhs - K @ sol
-        sol = sol + ldlt_solve(fac, r)
+        i, sol, rr_prev = carry
+        r = rhs_a - K_a @ sol
+        sol = sol + ldlt_solve(fac, r.astype(fac_dt)).astype(acc_dt)
         return i + 1, sol, ratio(sol)
 
     def cond(carry):
         i, _, rr = carry
-        return jnp.logical_or(
-            i < opts.min_refinement_steps,
-            jnp.logical_and(i < opts.max_refinement_steps,
-                            rr > opts.residual_ratio_max))
+        need_floor = i < opts.min_refinement_steps
+        not_done = jnp.logical_and(i < opts.max_refinement_steps,
+                                   rr > opts.residual_ratio_max)
+        return jnp.logical_or(need_floor, not_done)
 
     if opts.fast_step_computation:
-        return sol, jnp.zeros((), K.dtype)
+        return sol.astype(model_dt), jnp.zeros((), model_dt)
     i0 = jnp.zeros((), jnp.int32)
-    _, sol, rr = lax.while_loop(cond, body, (i0, sol, ratio(sol)))
-    return sol, rr
+    rr0 = ratio(sol)
+
+    if opts.residual_improvement_factor < 1e19:
+        # stop when a step fails to improve the ratio enough
+        # (IpPDFullSpaceSolver.cpp residual_improvement_factor)
+        def body_imp(carry):
+            i, sol, rr_prev = carry
+            i2, sol2, rr2 = body((i, sol, rr_prev))
+            improved = rr2 <= opts.residual_improvement_factor * rr_prev
+            keep = jnp.logical_or(improved, i < opts.min_refinement_steps)
+            sol_out = jax.tree.map(
+                lambda a, b: jnp.where(keep, b, a), sol, sol2)
+            rr_out = jnp.where(keep, rr2, rr_prev)
+            # a non-improving step pins the counter to max -> loop exits
+            i_out = jnp.where(keep, i2,
+                              jnp.asarray(opts.max_refinement_steps,
+                                          jnp.int32))
+            return i_out, sol_out, rr_out
+
+        _, sol, rr = lax.while_loop(cond, body_imp, (i0, sol, rr0))
+    else:
+        _, sol, rr = lax.while_loop(cond, body, (i0, sol, rr0))
+    return sol.astype(model_dt), rr.astype(model_dt)
 
 
 class FactorResult(NamedTuple):
@@ -250,6 +294,14 @@ def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
     regularization (CGPerturbationHandler's value; structured backends still
     floor it for block-elimination safety).
     """
+    if opts.linear_solver == "custom":
+        # GenKKTSolverInterface / GenAugSystemSolver hook
+        # (IpGenKKTSolverInterface.hpp, IpGenAugSystemSolver.hpp): the
+        # registered object owns the factorize half of the contract
+        # (factorize -> inertia -> perturb retry is its responsibility).
+        from ..options import CUSTOM_KKT_REGISTRY
+        solver = CUSTOM_KKT_REGISTRY[opts.custom_kkt_token]
+        return solver.factorize(nlp, opts, it, ev, hess, mu, delta_w_last)
     from .quasi_newton import LowRankW
     if isinstance(hess, LowRankW):
         if _backend(nlp) != "dense":
@@ -286,6 +338,10 @@ def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
 def solve_any(nlp: CanonicalNLP, opts: Options, fac, K, parts):
     """Solve the factorized augmented system for the four RHS blocks
     (-r_x, -r_s, -r_c, -r_d); returns ((dx, ds, dy_c, dy_d), residual_ratio)."""
+    if opts.linear_solver == "custom":
+        from ..options import CUSTOM_KKT_REGISTRY
+        solver = CUSTOM_KKT_REGISTRY[opts.custom_kkt_token]
+        return solver.solve(nlp, opts, fac, K, parts)
     from .lowrank_kkt import LowRankKKT, lowrank_solve_refined
     if isinstance(fac, LowRankKKT):
         return lowrank_solve_refined(fac, parts, opts)
@@ -325,10 +381,15 @@ def direction_from_parts(nlp: CanonicalNLP, it: Iterate, xsplit, mu, failed):
 
 
 def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
-                             ev: Evals, W, mu, delta_w_last) -> StepResult:
-    """Assemble + factorize (with inertia correction) + solve + recover duals."""
+                             ev: Evals, W, mu, delta_w_last,
+                             ev_rhs: Evals = None) -> StepResult:
+    """Assemble + factorize (with inertia correction) + solve + recover duals.
+
+    ``ev_rhs``: optional higher-precision evaluation view for the RHS
+    (refinement_precision='double'); the factorization uses ``ev``."""
     fr = factorize_any(nlp, opts, it, ev, W, mu, delta_w_last)
-    parts = condensed_rhs_parts(nlp, it, ev, mu, opts.kappa_d)
+    parts = condensed_rhs_parts(nlp, it, ev_rhs if ev_rhs is not None else ev,
+                                mu, opts.kappa_d)
     xsplit, rr = solve_any(nlp, opts, fr.fac, fr.K, parts)
     failed = fr.failed
     if (opts.neg_curv_test_tol > 0 and _backend(nlp) == "dense"

@@ -361,6 +361,16 @@ def btd_apply_scale(K: BTDMatrix, d) -> BTDMatrix:
                      sub=K.sub * dn[:, :, None] * d[:, None, :])
 
 
+def btd_cast(K: BTDMatrix, dtype_str: str) -> BTDMatrix:
+    """Cast the BTD blocks for a lower-precision factorization
+    (factorization_dtype); the caller keeps the full-precision K for
+    iterative refinement."""
+    if not dtype_str:
+        return K
+    dt = jnp.dtype(dtype_str)
+    return BTDMatrix(diag=K.diag.astype(dt), sub=K.sub.astype(dt))
+
+
 def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
                   equilibrate: bool = False) -> BCRFactor:
     nb, b = K.nb, K.b

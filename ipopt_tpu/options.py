@@ -317,10 +317,12 @@ class Options:
 
     # ---- Linear solver / step computation (IpPDFullSpaceSolver.cpp) ----
     linear_solver: str = _opt("dense-ldlt", "Linear Solver",
-                              "KKT factorization backend (TPU-native).",
+                              "KKT factorization backend (TPU-native); "
+                              "'custom' dispatches to a user-registered "
+                              "solver (GenKKTSolverInterface hook).",
                               choices=("dense-ldlt", "dense-ldlt-blocked",
                                        "condensed-cholesky", "minres",
-                                       "banded-bcr"))
+                                       "banded-bcr", "custom"))
     min_refinement_steps: int = _opt(1, "Linear Solver", "Min iterative refinement steps.", 0)
     max_refinement_steps: int = _opt(10, "Linear Solver", "Max iterative refinement steps.", 0)
     residual_ratio_max: float = _opt(1e-10, "Linear Solver", "Acceptable residual ratio.", 0.0, lower_strict=True)
@@ -383,6 +385,7 @@ class Options:
     # ---- Callbacks (token into the registry below; participates in the jit
     #      key so different callbacks compile distinct programs) ----
     callback_token: int = _opt(0, "Output", "internal: intermediate_callback id.", 0)
+    custom_kkt_token: int = _opt(0, "Linear Solver", "internal: custom KKT solver id.", 0)
     callback_curr_iterate: bool = _opt(
         False, "Output",
         "Pass curr_iterate / curr_violations dicts to intermediate_callback "
@@ -509,6 +512,16 @@ class Options:
                       choices=("float32", "float64"))
     factorization_dtype: str = _opt("", "TPU", "Dtype for KKT factorization ('' = same as dtype).",
                                     choices=("", "float32", "float64"))
+    refinement_precision: str = _opt("same", "TPU",
+                                     "Residual precision in iterative "
+                                     "refinement: 'double' accumulates the "
+                                     "solution and computes residuals in "
+                                     "float64 so an f32 factorization "
+                                     "reaches ~1e-7 tolerances "
+                                     "(IpPDFullSpaceSolver.cpp:235-345; "
+                                     "double-build tol 1e-8, "
+                                     "IpIpoptData.cpp:27-38).",
+                                     choices=("same", "double"))
     kkt_block_size: int = _opt(128, "TPU", "Block size for blocked/Pallas factorizations.", 8)
     use_pallas: bool = _opt(True, "TPU", "Use Pallas kernels where available "
                             "(auto-disabled off-TPU).")
@@ -545,6 +558,10 @@ class Options:
             constr_mult_init_max=0.0,
             expect_infeasible_problem=False,
             nlp_scaling_method="none",
+            # the feasibility sub-problem never needs the f64 critical path
+            # (its exit tolerances are coarse); keeping it in the model
+            # dtype also keeps the nested carry homogeneous
+            refinement_precision="same",
         )
         # The CG penalty acceptor never runs a restoration phase of its own
         # (CGPenaltyLSAcceptor::NeverRestorationPhase); the nested resto
@@ -628,4 +645,19 @@ CALLBACK_REGISTRY: Dict[int, Any] = {}
 def register_callback(fn) -> int:
     token = id(fn)
     CALLBACK_REGISTRY[token] = fn
+    return token
+
+
+# User-pluggable KKT solver hook (GenKKTSolverInterface /
+# GenAugSystemSolver parity, src/Algorithm/LinearSolvers/
+# IpGenKKTSolverInterface.hpp, IpGenAugSystemSolver.hpp): an object with
+#   factorize(nlp, opts, it, ev, W, mu, delta_w_last) -> FactorResult-like
+#   solve(nlp, opts, fac, K, parts) -> ((dx, ds, dy_c, dy_d), resid_ratio)
+# selected by linear_solver="custom"; both callables must be jax-traceable.
+CUSTOM_KKT_REGISTRY: Dict[int, Any] = {}
+
+
+def register_custom_kkt(solver) -> int:
+    token = id(solver)
+    CUSTOM_KKT_REGISTRY[token] = solver
     return token

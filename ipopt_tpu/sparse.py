@@ -803,7 +803,9 @@ def banded_factorize_kkt(nlp: CanonicalNLP, opts: Options, it, h_vals, mu,
 
     def factor(dxv, dcv):
         Kb = add_diag_deltas(nlp, K_base, dxv, dcv)
-        fac = bcr_factorize(Kb, pivot_tol=opts.ldlt_pivot_tol,
+        from .linalg.block_tridiag import btd_cast
+        fac = bcr_factorize(btd_cast(Kb, opts.factorization_dtype),
+                            pivot_tol=opts.ldlt_pivot_tol,
                             equilibrate=opts.linear_system_scaling == "mc19")
         ok = jnp.logical_and(
             jnp.logical_and(fac.num_pos == exp_pos, fac.num_neg == exp_neg),

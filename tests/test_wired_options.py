@@ -279,6 +279,71 @@ def test_corrector_skip_in_monotone_mode():
                                rtol=1e-7)
 
 
+def test_mixed_precision_factorization():
+    """factorization_dtype=float32 (TPU mixed precision: MXU factorization
+    in f32, residuals/refinement in f64) reaches the reference double-build
+    tolerance 1e-8 with the same iteration count as full f64 — the verdict-7
+    f32-factorization accuracy story (IpPDFullSpaceSolver.cpp:235-345)."""
+    full = solve(hs071(), print_level=0, tol=1e-8, acceptable_iter=0)
+    mixed = solve(hs071(), print_level=0, tol=1e-8, acceptable_iter=0,
+                  factorization_dtype="float32")
+    assert int(mixed.status) == int(SolverReturn.SUCCESS)
+    assert float(mixed.E_scaled) <= 1e-8
+    assert int(mixed.iter_count) == int(full.iter_count)
+    np.testing.assert_allclose(float(mixed.obj), 17.0140171451792, rtol=1e-9)
+
+
+def test_mixed_precision_chained():
+    """LV1 through the chained BTD/BCR backend with an f32 factorization
+    still converges to 1e-7 (refinement against the f64-assembled K)."""
+    from ipopt_tpu.modellib import luksan_vlcek1
+    r = solve(luksan_vlcek1(512, 32), print_level=0, tol=1e-7,
+              acceptable_iter=0, factorization_dtype="float32")
+    assert int(r.status) == int(SolverReturn.SUCCESS)
+    assert float(r.E_scaled) <= 1e-7
+    assert int(r.iter_count) <= 12
+
+
+def test_custom_kkt_solver():
+    """GenKKTSolverInterface / GenAugSystemSolver hook parity
+    (IpGenKKTSolverInterface.hpp, IpGenAugSystemSolver.hpp): a user
+    eigendecomposition-based KKT solver plugs into factorize_any/solve_any
+    and drives the full IPM."""
+    from ipopt_tpu.algorithm.step import FactorResult
+    from ipopt_tpu.kkt import sigmas, assemble_aug_system, split_aug_solution
+    calls = {"fact": 0, "solve": 0}
+
+    class EighKKT:
+        def factorize(self, nlp, opts, it, ev, W, mu, dwl):
+            calls["fact"] += 1          # trace-time witness
+            sig = sigmas(nlp, it)
+            z = jnp.zeros((), it.x.dtype)
+            dc = jnp.asarray(1e-8, it.x.dtype)
+            K = assemble_aug_system(W, ev.J_c, ev.J_d, sig, z, z, dc, dc)
+            w_eig, V = jnp.linalg.eigh(K)
+            n_pos = jnp.sum(w_eig > 0).astype(jnp.int32)
+            n_neg = jnp.sum(w_eig < 0).astype(jnp.int32)
+            failed = jnp.logical_not(jnp.logical_and(
+                n_pos == nlp.n + nlp.mi, n_neg == nlp.me + nlp.mi))
+            return FactorResult(fac=(w_eig, V), K=K, delta_x=z, delta_c=dc,
+                                delta_w_last=dwl, failed=failed,
+                                num_trials=jnp.ones((), jnp.int32))
+
+        def solve(self, nlp, opts, fac, K, parts):
+            calls["solve"] += 1
+            w_eig, V = fac
+            rhs = jnp.concatenate(parts).astype(w_eig.dtype)
+            sol = V @ ((V.T @ rhs) / w_eig)
+            return (split_aug_solution(sol, nlp.n, nlp.mi, nlp.me),
+                    jnp.zeros((), rhs.dtype))
+
+    res = solve(hs071(), print_level=0, tol=1e-8,
+                custom_kkt_solver=EighKKT())
+    assert int(res.status) == int(SolverReturn.SUCCESS)
+    np.testing.assert_allclose(float(res.obj), 17.0140171451792, rtol=1e-8)
+    assert calls["fact"] >= 1 and calls["solve"] >= 1
+
+
 def test_filter_reset_machinery():
     """Drive one ipm step from a state whose filter blocks everything and
     whose last rejection was filter-caused: with the trigger reached the
