@@ -104,6 +104,134 @@ def perturbed_solution(nlp: CanonicalNLP, opts: Options, it: Iterate,
         v_L=it.v_L + sr.dv_L, v_U=it.v_U + sr.dv_U)
 
 
+class BoundcheckResult(NamedTuple):
+    """sensitivity_step_boundcheck output: the corrected step plus the
+    active-set diagnostics (sens_boundcheck, SensStdStepCalc.cpp:92-260)."""
+    step: SensitivityResult
+    n_fixed: Any          # number of bound activations corrected
+    fixed_idx: Any        # (cap,) x-indices pinned to their bound (-1 pad)
+    max_violation: Any    # residual bound violation after correction
+
+
+def sensitivity_step_boundcheck(nlp: CanonicalNLP, opts: Options, it: Iterate,
+                                dparams, mu=0.0, bound_eps: float = 1e-3,
+                                cap: int = 16, rounds: int = 2
+                                ) -> BoundcheckResult:
+    """Sensitivity step with bound-activity detection
+    (``sens_boundcheck``/``sens_bound_eps``, SensStdStepCalc.cpp:42,92-260):
+    when the predicted point x + dx violates a variable bound by more than
+    ``bound_eps``, the violated coordinates are pinned to their bounds by a
+    bordered-KKT correction
+
+        [K  E'][dw]   [rhs]          S = E K^-1 E',
+        [E  0 ][dl] = [du ]   via    dl = S^-1 (E dw0 - du),  dw = dw0 - B dl
+
+    solved on the SAME saved factorization (E = unit rows of the violated
+    x coordinates; fixed capacity ``cap`` with masking keeps it jittable;
+    ``rounds`` re-detection sweeps mirror the reference's while loop)."""
+    mu = jnp.asarray(mu, it.x.dtype)
+    dtype = it.x.dtype
+    n, mi, me = nlp.n, nlp.mi, nlp.me
+    cap = min(cap, n)
+
+    def F(params):
+        return _residual_parts(nlp._replace(params=params), opts, it, mu)
+
+    _, dparts = jax.jvp(F, (nlp.params,), (dparams,))
+    fr = _factorize_at(nlp, opts, it, mu)
+    xsplit, _ = solve_any(nlp, opts, fr.fac, fr.K, dparts)
+    dw = jnp.concatenate(xsplit)
+
+    def kinv_ex(i):
+        """K^-1 e_i for an x unit vector (one backsolve per active bound)."""
+        e_x = jnp.zeros((n,), dtype).at[i].set(1.0)
+        parts = (e_x, jnp.zeros((mi,), dtype), jnp.zeros((me,), dtype),
+                 jnp.zeros((mi,), dtype))
+        sp, _ = solve_any(nlp, opts, fr.fac, fr.K, parts)
+        return jnp.concatenate(sp)
+
+    fixed_idx = jnp.full((cap,), -1, jnp.int32)
+    n_fixed = jnp.zeros((), jnp.int32)
+    for _ in range(rounds):
+        x_pred = it.x + dw[:n]
+        viol_L = jnp.where(nlp.has_xL, nlp.x_L - x_pred, -jnp.inf)
+        viol_U = jnp.where(nlp.has_xU, x_pred - nlp.x_U, -jnp.inf)
+        viol = jnp.maximum(viol_L, viol_U)
+        target = jnp.where(viol_L >= viol_U, nlp.x_L, nlp.x_U)
+        vals, idx = jax.lax.top_k(viol, cap)
+        active = vals > bound_eps
+        # B = K^-1 E' columns for the (masked) active set
+        B = jax.vmap(kinv_ex)(idx)                       # (cap, N)
+        S = B[:, :n][:, idx].T * 0.5 + B[:, :n][:, idx] * 0.5  # (cap, cap)
+        S = jnp.where(jnp.outer(active, active), S,
+                      jnp.eye(cap, dtype=dtype))
+        du = jnp.where(active, target[idx] - x_pred[idx], 0.0)
+        # E dw0 already folded into du's reference point (x_pred)
+        dl = jnp.linalg.solve(S, -du)
+        dw = dw - B.T @ jnp.where(active, dl, 0.0)
+        fixed_idx = jnp.where(jnp.arange(cap) < jnp.sum(active),
+                              idx, fixed_idx)
+        n_fixed = jnp.maximum(n_fixed, jnp.sum(active).astype(jnp.int32))
+
+    dx = dw[:n]
+    ds = dw[n:n + mi]
+    dy_c = dw[n + mi:n + mi + me]
+    dy_d = dw[n + mi + me:]
+    sl_xL, sl_xU, sl_sL, sl_sU = kkt.slacks(nlp, it)
+    dz_L = jnp.where(nlp.has_xL, -it.z_L / sl_xL * dx, 0.0)
+    dz_U = jnp.where(nlp.has_xU, it.z_U / sl_xU * dx, 0.0)
+    dv_L = jnp.where(nlp.has_dL, -it.v_L / sl_sL * ds, 0.0)
+    dv_U = jnp.where(nlp.has_dU, it.v_U / sl_sU * ds, 0.0)
+    x_pred = it.x + dx
+    resid = jnp.maximum(
+        jnp.max(jnp.where(nlp.has_xL, nlp.x_L - x_pred, -jnp.inf),
+                initial=-jnp.inf),
+        jnp.max(jnp.where(nlp.has_xU, x_pred - nlp.x_U, -jnp.inf),
+                initial=-jnp.inf))
+    return BoundcheckResult(
+        step=SensitivityResult(dx=dx, ds=ds, dy_c=dy_c, dy_d=dy_d,
+                               dz_L=dz_L, dz_U=dz_U, dv_L=dv_L, dv_U=dv_U),
+        n_fixed=n_fixed, fixed_idx=fixed_idx, max_violation=resid)
+
+
+def sensitivity_path(nlp: CanonicalNLP, opts: Options, it: Iterate,
+                     param_schedule, mu=0.0) -> Iterate:
+    """Multi-step sensitivity (``n_sens_steps``, SensAlgorithm.cpp:173):
+    follow a SEQUENCE of parameter values with one Schur backsolve per
+    step on the same saved factorization, re-evaluating the parametric
+    residual at each intermediate predicted point (first-order
+    path-following — the reference's repeated SchurDriver steps)."""
+    mu = jnp.asarray(mu, it.x.dtype)
+    fr = _factorize_at(nlp, opts, it, mu)
+    cur_it = it
+    cur_params = nlp.params
+    for new_params in param_schedule:
+        dparams = jax.tree.map(lambda a, b: b - a, cur_params, new_params)
+
+        def F(params, _it=cur_it):
+            ev = evaluate(nlp._replace(params=params), _it.x)
+            return condensed_rhs_parts(nlp._replace(params=params), _it, ev,
+                                       mu, opts.kappa_d)
+
+        _, dparts = jax.jvp(F, (cur_params,), (dparams,))
+        xsplit, _ = solve_any(nlp, opts, fr.fac, fr.K, dparts)
+        dx, ds, dy_c, dy_d = xsplit
+        sl_xL, sl_xU, sl_sL, sl_sU = kkt.slacks(nlp, cur_it)
+        cur_it = Iterate(
+            x=cur_it.x + dx, s=cur_it.s + ds,
+            y_c=cur_it.y_c + dy_c, y_d=cur_it.y_d + dy_d,
+            z_L=cur_it.z_L + jnp.where(nlp.has_xL,
+                                       -cur_it.z_L / sl_xL * dx, 0.0),
+            z_U=cur_it.z_U + jnp.where(nlp.has_xU,
+                                       cur_it.z_U / sl_xU * dx, 0.0),
+            v_L=cur_it.v_L + jnp.where(nlp.has_dL,
+                                       -cur_it.v_L / sl_sL * ds, 0.0),
+            v_U=cur_it.v_U + jnp.where(nlp.has_dU,
+                                       cur_it.v_U / sl_sU * ds, 0.0))
+        cur_params = new_params
+    return cur_it
+
+
 def reduced_hessian(nlp: CanonicalNLP, opts: Options, it: Iterate,
                     var_indices, mu=0.0):
     """Reduced Hessian w.r.t. the selected variables (sIPOPT
