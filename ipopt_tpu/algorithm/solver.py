@@ -787,7 +787,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     from .step import _backend
     if not opts.resto_phase:
         enable_resto = False
-    if enable_resto and _backend(nlp) == "banded" and getattr(
+    if enable_resto and _backend(nlp) in ("banded", "nd") and getattr(
             nlp.chain, "_resto_info", None) is None:
         # a hand-built banded CanonicalNLP without the resto symbolic
         # analysis (e.g. the resto NLP itself) cannot nest another resto
@@ -811,7 +811,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             rr = perform_restoration_arrow(
                 nlp, opts, resto_opts, it, ev_lo, mu, fs_entry,
                 ls.theta_curr, ls.phi_curr, ipm_step, active=need_resto)
-        elif _backend(nlp) == "banded":
+        elif _backend(nlp) in ("banded", "nd"):
             from .banded_resto import perform_restoration_banded
             rr = perform_restoration_banded(
                 nlp, opts, resto_opts, it, ev_lo, mu, fs_entry,

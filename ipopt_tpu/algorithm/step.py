@@ -261,10 +261,13 @@ def _backend(nlp: CanonicalNLP) -> str:
         return "dense"
     from ..parallel.scenario import ArrowInfo
     from ..sparse import BandedInfo
+    from ..linalg.nested_dissection import NDInfo
     if isinstance(info, ArrowInfo):
         return "arrow"
     if isinstance(info, BandedInfo):
         return "banded"
+    if isinstance(info, NDInfo):
+        return "nd"
     return "btd"
 
 
@@ -277,7 +280,7 @@ def compute_hessian(nlp: CanonicalNLP, it: Iterate):
     if be == "arrow":
         from ..parallel.scenario import scenario_hessians
         return scenario_hessians(nlp, it.x, it.y_c, it.y_d)
-    if be == "banded":
+    if be in ("banded", "nd"):
         from ..sparse import sparse_hessian_values
         return sparse_hessian_values(nlp, it)
     return nlp.eval_lag_hess(it.x, it.y_c, it.y_d)
@@ -331,6 +334,10 @@ def factorize_any(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
         from ..sparse import banded_factorize_kkt
         return banded_factorize_kkt(nlp, opts, it, hess, mu, delta_w_last,
                                     delta_cd_override=delta_cd_override)
+    if be == "nd":
+        from ..sparse import nd_factorize_kkt
+        return nd_factorize_kkt(nlp, opts, it, hess, mu, delta_w_last,
+                                delta_cd_override=delta_cd_override)
     return factorize_kkt(nlp, opts, it, ev, hess, mu, delta_w_last,
                          delta_cd_override=delta_cd_override)
 
@@ -367,6 +374,9 @@ def solve_any(nlp: CanonicalNLP, opts: Options, fac, K, parts):
         rhs = pack_rhs_banded(nlp, *parts)
         sol, rr = chained_solve_refined(K, fac, rhs, opts)
         return unpack_sol_banded(nlp, sol), rr
+    if be == "nd":
+        from ..sparse import nd_solve_parts
+        return nd_solve_parts(nlp, opts, fac, K, parts)
     rhs = jnp.concatenate(parts)
     sol, rr = solve_with_refinement(K, fac, rhs, opts)
     return split_aug_solution(sol, nlp.n, nlp.mi, nlp.me), rr

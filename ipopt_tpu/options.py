@@ -322,7 +322,8 @@ class Options:
                               "solver (GenKKTSolverInterface hook).",
                               choices=("dense-ldlt", "dense-ldlt-blocked",
                                        "condensed-cholesky", "minres",
-                                       "banded-bcr", "custom"))
+                                       "banded-bcr", "multifrontal",
+                                       "custom"))
     min_refinement_steps: int = _opt(1, "Linear Solver", "Min iterative refinement steps.", 0)
     max_refinement_steps: int = _opt(10, "Linear Solver", "Max iterative refinement steps.", 0)
     residual_ratio_max: float = _opt(1e-10, "Linear Solver", "Acceptable residual ratio.", 0.0, lower_strict=True)

@@ -536,8 +536,19 @@ def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
     eq_mask = np.zeros((m,), bool)
     eq_mask[s.eq_idx] = True
 
-    info = analyze_sparsity(n, mi, me, j_rows, j_cols, eq_mask,
-                            h_rows, h_cols)
+    multifrontal = opts.linear_solver == "multifrontal"
+    if multifrontal:
+        # nested-dissection multifrontal: general fill-in capability for
+        # patterns whose RCM bandwidth is too wide for banded BCR (3-D
+        # grids; MA27 multifrontal role, IpMa27TSolverInterface.hpp:276)
+        from .linalg.nested_dissection import nd_analyze, nd_aux
+        _analyze = nd_analyze
+        _mk_aux = nd_aux
+    else:
+        _analyze = analyze_sparsity
+        _mk_aux = _aux_from_info
+    info = _analyze(n, mi, me, j_rows, j_cols, eq_mask,
+                    h_rows, h_cols)
 
     # Symbolic analysis for the RESTORATION NLP (x widened by per-row n/p
     # slacks; g_r = g - p + n): the pattern is the original plus identity
@@ -546,7 +557,7 @@ def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
     # banded backend too (IpRestoMinC_1Nrm is solver-agnostic).
     if not opts.resto_phase:
         object.__setattr__(info, "_resto_info", None)
-        base = base._replace(chain=info, aux_arrays=_aux_from_info(info))
+        base = base._replace(chain=info, aux_arrays=_mk_aux(info))
         if opts.nlp_scaling_method == "gradient-based":
             base = _sparse_gradient_scaling(base, opts)
         return base
@@ -574,15 +585,15 @@ def canonicalize_sparse(nlp: NLP, options: Optional[Options] = None
         info.j_colors,
         np.full(m, ncj, np.int32), np.full(m, ncj + 1, np.int32)]) if m \
         else info.j_colors
-    resto_info = analyze_sparsity(nr, mi, me, jr_rows, jr_cols, eq_mask,
-                                  Hd.row.astype(np.int32),
-                                  Hd.col.astype(np.int32),
-                                  j_colors=jc_resto)
+    resto_info = _analyze(nr, mi, me, jr_rows, jr_cols, eq_mask,
+                          Hd.row.astype(np.int32),
+                          Hd.col.astype(np.int32),
+                          j_colors=jc_resto)
     object.__setattr__(info, "_resto_info", resto_info)
 
     base = base._replace(chain=info,
-                         aux_arrays={**_aux_from_info(info),
-                                     "resto": _aux_from_info(resto_info)})
+                         aux_arrays={**_mk_aux(info),
+                                     "resto": _mk_aux(resto_info)})
     if opts.nlp_scaling_method == "gradient-based":
         base = _sparse_gradient_scaling(base, opts)
     return base
@@ -880,3 +891,95 @@ def unpack_sol_banded(nlp: CanonicalNLP, sol):
     dy_c = sol_orig[n + mi:n + mi + me]
     dy_d = sol_orig[n + mi + me:]
     return dx, ds, dy_c, dy_d
+
+# ---------------------------------------------------------------------------
+# Nested-dissection multifrontal backend (linear_solver="multifrontal"):
+# general fill-in capability for patterns whose RCM bandwidth is too wide
+# for banded BCR — the MA27/MA57 multifrontal role
+# (IpMa27TSolverInterface.hpp:276-297).  Same factorize -> inertia ->
+# perturb contract as the banded path.
+# ---------------------------------------------------------------------------
+
+def nd_factorize_kkt(nlp: CanonicalNLP, opts: Options, it, h_vals, mu,
+                     delta_w_last,
+                     delta_cd_override=None) -> BandedFactorResult:
+    """Inertia-corrected multifrontal factorization (PDPerturbationHandler
+    schedule; delta_c floor for block-elimination safety as in the banded
+    path)."""
+    from jax import lax
+    from .linalg.nested_dissection import (NDInfo, nd_assemble,
+                                           nd_add_diag_deltas, nd_factorize)
+    info: NDInfo = nlp.chain
+    aux = nlp.aux_arrays
+    dtype = it.x.dtype
+    exp_pos, exp_neg = info.n + info.mi, info.me + info.mi
+    j_vals = jacobian_values(nlp, it.x)
+    base_cd = (delta_cd_override if delta_cd_override is not None
+               else opts.jacobian_regularization_value
+               * mu ** opts.jacobian_regularization_exponent)
+    delta_cd = jnp.maximum(base_cd, opts.jacobian_regularization_value)
+
+    zero_d = jnp.zeros((), dtype)
+    K_base = nd_assemble(nlp, aux, info, it, j_vals, h_vals, zero_d, zero_d)
+
+    def factor(dxv, dcv):
+        Kf = nd_add_diag_deltas(info, aux, K_base, dxv, dcv)
+        fd = opts.factorization_dtype
+        Kf_fac = tuple(F.astype(jnp.dtype(fd)) for F in Kf) if fd else Kf
+        fac = nd_factorize(info, aux, Kf_fac, pivot_tol=opts.ldlt_pivot_tol)
+        ok = jnp.logical_and(
+            jnp.logical_and(fac.num_pos == exp_pos, fac.num_neg == exp_neg),
+            jnp.logical_not(fac.singular))
+        return Kf, fac, ok
+
+    zero = jnp.zeros((), dtype)
+    dc0 = delta_cd * jnp.ones((), dtype)
+    K0, fac0, ok0 = factor(zero, dc0)
+
+    def cond(carry):
+        trial, dxv, dcv, Kb, fac, ok, gave_up = carry
+        return jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(ok, gave_up)),
+            trial < opts.max_inertia_correction_rounds)
+
+    def body(carry):
+        trial, dxv, dcv, Kb, fac, ok, gave_up = carry
+        was_singular = fac.singular
+        only_dc = jnp.logical_and(was_singular, dcv <= delta_cd)
+        new_dc = jnp.minimum(jnp.maximum(dcv * 100.0, delta_cd), 1e-2)
+        first_try = (dxv == 0)
+        start_val = jnp.where(delta_w_last == 0,
+                              opts.first_hessian_perturbation,
+                              jnp.maximum(opts.min_hessian_perturbation,
+                                          delta_w_last * opts.perturb_dec_fact))
+        inc_fact = jnp.where(delta_w_last == 0,
+                             opts.perturb_inc_fact_first, opts.perturb_inc_fact)
+        bumped = jnp.where(first_try, start_val, dxv * inc_fact)
+        new_dx = jnp.where(only_dc, dxv, bumped)
+        gave_up = new_dx > opts.max_hessian_perturbation
+        Kb, fac, ok = factor(new_dx, new_dc)
+        return trial + 1, new_dx, new_dc, Kb, fac, ok, gave_up
+
+    trials, dxv, dcv, Kb, fac, ok, gave_up = lax.while_loop(
+        cond, body,
+        (jnp.ones((), jnp.int32), zero, dc0, K0, fac0, ok0,
+         jnp.zeros((), bool)))
+
+    failed = jnp.logical_not(ok)
+    new_last = jnp.where(dxv > 0, dxv, delta_w_last)
+    return BandedFactorResult(fac=fac, K=Kb, delta_x=dxv, delta_c=dcv,
+                              delta_w_last=new_last, failed=failed,
+                              num_trials=trials)
+
+
+def nd_solve_parts(nlp: CanonicalNLP, opts: Options, fac, K, parts):
+    """solve_any contract for the multifrontal backend: concat the four RHS
+    blocks ([x|s|y_c|y_d] — unknown order is identity here, no permutation),
+    solve + refine, split back."""
+    from .linalg.nested_dissection import NDInfo, nd_solve_refined
+    info: NDInfo = nlp.chain
+    rhs = jnp.concatenate(parts)
+    sol, rr = nd_solve_refined(info, nlp.aux_arrays, K, fac, rhs, opts)
+    n, mi, me = info.n, info.mi, info.me
+    return (sol[:n], sol[n:n + mi], sol[n + mi:n + mi + me],
+            sol[n + mi + me:]), rr
