@@ -136,6 +136,20 @@ def expected_inertia(nlp: CanonicalNLP):
     return s.n + s.mi + n_dummy, s.me + s.mi
 
 
+def chain_diag_kind(nlp: CanonicalNLP):
+    """(K+1, bs) int8 diagonal kinds for delta re-adds without reassembly:
+    0 = x/s slot (+delta_x), 1 = y slot (-delta_c), 2 = dummy (+1, fixed)."""
+    import numpy as np
+    ch: ChainInfo = nlp.chain
+    K, v, mk = ch.K, ch.v, ch.mk
+    kind = np.full((K + 1, ch.bs), 2, np.int8)
+    kind[:, :v] = 0
+    eq = np.asarray(ch.eq_mask)                      # (K, mk) bool
+    kind[:K, v:v + mk] = np.where(eq, 2, 0)          # s slots (eq rows dummy)
+    kind[:K, v + mk:] = 1                            # y slots
+    return kind
+
+
 class ChainFactorResult(NamedTuple):
     fac: BCRFactor
     K: BTDMatrix             # assembled matrix (for refinement matvecs)
@@ -166,6 +180,30 @@ def chained_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
                else opts.jacobian_regularization_value
                * mu ** opts.jacobian_regularization_exponent)
     delta_cd = jnp.maximum(base_cd, opts.jacobian_regularization_value)
+
+    if opts.chain_shard:
+        # Explicit shard_map distribution of the chain axis (SPIKE/Schur
+        # domain decomposition): assemble ONCE with zero deltas, then the
+        # whole perturbation retry loop runs inside one shard_map with the
+        # deltas re-added on the local diagonals (parallel/chain_shard.py).
+        from ..parallel.chain_shard import dist_factorize_retry
+        K0 = assemble_btd(nlp, it, AB, Wblocks, jnp.zeros((), dtype),
+                          jnp.zeros((), dtype))
+        kind = jnp.asarray(chain_diag_kind(nlp))
+        fac, dxv, dcv, trials, ok, gave_up = dist_factorize_retry(
+            btd_cast(K0, opts.factorization_dtype), kind, opts, delta_cd,
+            delta_w_last, exp_pos, exp_neg)
+        # K with the final deltas, for the refinement matvec
+        eye_b = jnp.eye(K0.b, dtype=dtype)
+        add = jnp.where(kind == 0, dxv,
+                        jnp.where(kind == 1, -dcv, 0.0)).astype(dtype)
+        Kb = BTDMatrix(diag=K0.diag + add[:, :, None] * eye_b[None],
+                       sub=K0.sub)
+        failed = jnp.logical_not(ok)
+        new_last = jnp.where(dxv > 0, dxv, delta_w_last)
+        return ChainFactorResult(fac=fac, K=Kb, delta_x=dxv, delta_c=dcv,
+                                 delta_w_last=new_last, failed=failed,
+                                 num_trials=trials)
 
     def factor(delta_x, delta_c):
         Kbtd = assemble_btd(nlp, it, AB, Wblocks, delta_x, delta_c)
@@ -234,12 +272,18 @@ def chained_solve_refined(Kbtd: BTDMatrix, fac: BCRFactor, rhs_flat,
     # output dtype follows the assembled system (rhs may be f64 under the
     # high-precision-residual mode); the factorization may be lower
     # precision still (factorization_dtype)
+    from ..parallel.chain_shard import ChainShardFactor, dist_solve
+    if isinstance(fac, ChainShardFactor):
+        solve_fn = dist_solve
+        fac_dt = fac.reduced.Ainv_root.dtype
+    else:
+        solve_fn = bcr_solve
+        fac_dt = fac.Ainv_root.dtype
     model_dt = Kbtd.diag.dtype
-    fac_dt = fac.Ainv_root.dtype
     precise = opts.refinement_precision == "double"
     acc_dt = jnp.float64 if precise else model_dt
 
-    sol = bcr_solve(fac, rhs_flat.astype(fac_dt)).astype(acc_dt)
+    sol = solve_fn(fac, rhs_flat.astype(fac_dt)).astype(acc_dt)
     rhs_a = rhs_flat.astype(acc_dt)
     if precise:
         K_a = BTDMatrix(diag=Kbtd.diag.astype(acc_dt),
@@ -255,7 +299,7 @@ def chained_solve_refined(Kbtd: BTDMatrix, fac: BCRFactor, rhs_flat,
     def body(carry):
         i, sol, rr_prev = carry
         r = rhs_a - K_a.matvec(sol)
-        sol = sol + bcr_solve(fac, r.astype(fac_dt)).astype(acc_dt)
+        sol = sol + solve_fn(fac, r.astype(fac_dt)).astype(acc_dt)
         return i + 1, sol, ratio(sol)
 
     def cond(carry):

@@ -326,7 +326,11 @@ def _block_inertia_counts(ds_blocks, pivot_tol, block_axis=-1):
     pos = jnp.sum(jnp.logical_and(~is_zero, ds_blocks > 0)).astype(jnp.int32)
     neg = jnp.sum(jnp.logical_and(~is_zero, ds_blocks < 0)).astype(jnp.int32)
     zer = jnp.sum(is_zero).astype(jnp.int32)
-    return pos, neg, zer
+    # NaN/Inf pivots fail every comparison above and would otherwise be
+    # INVISIBLE to the counts — the retry loop would then never see
+    # `singular` and never escalate delta_c.  Count them as zeros.
+    missing = jnp.asarray(ds_blocks.size, jnp.int32) - (pos + neg + zer)
+    return pos, neg, zer + missing
 
 
 def btd_ruiz_scale(K: BTDMatrix, sweeps: int = 2):

@@ -324,6 +324,12 @@ class Options:
                                        "condensed-cholesky", "minres",
                                        "banded-bcr", "multifrontal",
                                        "custom"))
+    chain_shard: bool = _opt(
+        False, "Linear Solver",
+        "Distribute the chained/BTD factorization over the mesh axis "
+        "registered with parallel.chain_shard.set_chain_mesh (explicit "
+        "shard_map SPIKE/Schur decomposition; the MUMPS-over-MPI role). "
+        "Exact-Hessian chained backend only.")
     min_refinement_steps: int = _opt(1, "Linear Solver", "Min iterative refinement steps.", 0)
     max_refinement_steps: int = _opt(10, "Linear Solver", "Max iterative refinement steps.", 0)
     residual_ratio_max: float = _opt(1e-10, "Linear Solver", "Acceptable residual ratio.", 0.0, lower_strict=True)
