@@ -92,9 +92,14 @@ def _evals_from_cache(nlp: CanonicalNLP, x, cache: EvCache) -> Evals:
                      jc_t=lambda y: J_c.T @ y, jd_t=lambda y: J_d.T @ y)
     _, c_vjp = jax.vjp(nlp.eval_c, x)
     _, d_vjp = jax.vjp(nlp.eval_d, x)
+    # dtype-tolerant cotangents: under the mixed-precision modes
+    # (refinement_precision='double' / factorization_dtype) the multipliers
+    # may be a different precision than the f64 evaluation point
+    cdt = x.dtype
     return Evals(f=cache.f, grad_f=cache.grad_f, c=cache.c, d=cache.d,
                  J_c=None, J_d=None,
-                 jc_t=lambda y: c_vjp(y)[0], jd_t=lambda y: d_vjp(y)[0])
+                 jc_t=lambda y: c_vjp(y.astype(cdt))[0],
+                 jd_t=lambda y: d_vjp(y.astype(cdt))[0])
 
 
 class IPMState(NamedTuple):
@@ -231,27 +236,63 @@ def _kappa_sigma_clip(nlp: CanonicalNLP, it: Iterate, mu, kappa_sigma):
         v_U=clip(it.v_U, sl_sU, nlp.has_dU))
 
 
+# alpha_pr step-type tags (IpOrigIterationOutput.cpp:~383 "step summary"
+# char): f/h = filter f-/h-type accepted (capitalized when a second-order
+# correction produced the accepted point), w = watchdog backup restore,
+# W = step taken on the watchdog trial, s = soft restoration step,
+# R = restoration phase triggered, e = line-search failure.
+_STEP_TAGS = "fFhHwWsRe"
+# print_info_string diagnostic codes (IpPDFullSpaceSolver.cpp:557,576 and
+# IpOrigIterationOutput.cpp info_string): q = iterative refinement ended
+# above residual_ratio_max, d = inertia-perturbation retries happened,
+# M = watchdog is armed/active.
+_INFO_CODES = "qdM"
+
+
+_LAST_PRINT_T = [0.0]  # print_frequency_time host-side state
+
+
 def _print_iter(iter_count, f, inf_pr, inf_du, mu, dnorm, delta_x, alpha_du,
-                alpha_pr, ls_count, output_file="", print_freq=1):
+                alpha_pr, ls_count, output_file="", print_freq=1,
+                tag_code=None, info_bits=None, print_info_string=False,
+                print_freq_time=0.0):
     """The classic log line (IpOrigIterationOutput.cpp:81); optionally teed to
     ``output_file`` (FileJournal equivalent, IpJournalist.hpp:416)."""
     lg_mu = jnp.log10(jnp.maximum(mu, 1e-99))
     lg_rg = jnp.where(delta_x > 0, jnp.log10(jnp.maximum(delta_x, 1e-99)), jnp.nan)
+    if tag_code is None:
+        tag_code = jnp.full((), -1, jnp.int32)
+    if info_bits is None:
+        info_bits = jnp.zeros((), jnp.int32)
 
-    def cb(i, f, pr, du, lgmu, dn, rg, adu, apr, ls):
+    def cb(i, f, pr, du, lgmu, dn, rg, adu, apr, ls, tag, bits):
         if print_freq > 1 and int(i) % print_freq != 0:
             return  # print_frequency_iter (IpOrigIterationOutput.cpp)
+        if print_freq_time > 0 and int(i) != 0:
+            # print_frequency_time (IpOrigIterationOutput.cpp:64-68)
+            import time as _time
+            if _time.monotonic() - _LAST_PRINT_T[0] < print_freq_time:
+                return
+        import time as _time
+        _LAST_PRINT_T[0] = _time.monotonic()
         rg_s = f"{float(rg):5.1f}" if not jnp.isnan(rg) else "  - "
+        tag_s = _STEP_TAGS[int(tag)] if 0 <= int(tag) < len(_STEP_TAGS) else " "
         line = (f"{int(i):4d} {float(f):16.7e} {float(pr):8.2e} {float(du):8.2e}"
                 f" {float(lgmu):5.1f} {float(dn):8.2e} {rg_s} {float(adu):8.2e}"
-                f" {float(apr):8.2e} {int(ls):3d}")
+                f" {float(apr):8.2e}{tag_s}{int(ls):3d}")
+        if print_info_string:
+            info = "".join(c for k, c in enumerate(_INFO_CODES)
+                           if int(bits) & (1 << k))
+            if info:
+                line += f"  {info}"
         from ..journalist import (default_journalist, EJournalLevel,
                                   EJournalCategory)
         default_journalist().printf(EJournalLevel.J_ITERSUMMARY,
                                     EJournalCategory.J_MAIN, line + "\n")
 
     jax.debug.callback(cb, iter_count, f, inf_pr, inf_du, lg_mu, dnorm, lg_rg,
-                       alpha_du, alpha_pr, ls_count, ordered=True)
+                       alpha_du, alpha_pr, ls_count, tag_code, info_bits,
+                       ordered=True)
 
 
 def ipm_step(nlp: CanonicalNLP, opts: Options, st: IPMState) -> IPMState:
@@ -296,8 +337,8 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             c=ev.c.astype(_model), d=ev.d.astype(_model),
             J_c=None if ev.J_c is None else ev.J_c.astype(_model),
             J_d=None if ev.J_d is None else ev.J_d.astype(_model),
-            jc_t=(lambda y: ev.jc_t(y).astype(_model)),
-            jd_t=(lambda y: ev.jd_t(y).astype(_model)))
+            jc_t=(lambda y: ev.jc_t(y.astype(_acc)).astype(_model)),
+            jd_t=(lambda y: ev.jd_t(y.astype(_acc)).astype(_model)))
     else:
         ev_lo = ev
 
@@ -376,7 +417,11 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             1.0, fr.failed)
         step_cent = jax.tree.map(lambda a, b: b - a, step_aff, step_at1)
 
-        oracle = "probing" if opts.mehrotra_algorithm else opts.mu_oracle
+        # mehrotra_probing (IpAlgBuilder.cpp:355-363): the Mehrotra mode
+        # forces the probing oracle unless explicitly disabled
+        oracle = ("probing"
+                  if opts.mehrotra_algorithm and opts.mehrotra_probing
+                  else opts.mu_oracle)
         if oracle == "loqo":
             mu_orc = loqo_mu(nlp, it, opts)
         elif oracle == "probing":
@@ -831,6 +876,24 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             int(SolverReturn.LOCAL_INFEASIBILITY), status)
         status = jnp.where(jnp.logical_and(need_resto, rr.failed),
                            int(SolverReturn.RESTORATION_FAILURE), status)
+        # resto_failure_feasibility_threshold (IpIpoptAlg.cpp:112-118): a
+        # restoration exit that left the primal infeasibility above the
+        # threshold (default 0 -> 1e2 * tol) WITHOUT meaningful feasibility
+        # progress over the entry point is declared a restoration failure
+        # (the reference ties this to the resto's acceptable-level exit; the
+        # no-progress condition is the jit-compatible equivalent guard).
+        rf_thresh = opts.resto_failure_feasibility_threshold
+        if rf_thresh <= 0.0:
+            rf_thresh = 1e2 * opts.tol
+        theta_back = jnp.maximum(
+            jnp.max(jnp.abs(nlp.eval_c(rr.it.x)), initial=0.0),
+            jnp.max(jnp.abs(nlp.eval_d(rr.it.x) - rr.it.s), initial=0.0))
+        status = jnp.where(
+            jnp.logical_and(
+                jnp.logical_and(need_resto, rr.success),
+                jnp.logical_and(theta_back > rf_thresh,
+                                theta_back > 0.9 * ls.theta_curr)),
+            int(SolverReturn.RESTORATION_FAILURE), status)
         extra_iters = jnp.where(need_resto, rr.resto_iters, 0)
         resto_count = resto_count + jnp.where(need_resto, 1, 0)
     else:
@@ -849,9 +912,23 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         # max-norm violation; 'internal' = the line-search theta norm.
         inf_pr_show = (ls.theta_curr if opts.inf_pr_output == "internal"
                        else primal_inf)
+        # step-type tag (see _STEP_TAGS)
+        tag = jnp.where(ls.ftype, jnp.where(ls.used_soc, 1, 0),
+                        jnp.where(ls.used_soc, 3, 2)).astype(jnp.int32)
+        tag = jnp.where(in_wd, 5, tag)
+        tag = jnp.where(wd_restore, 4, tag)
+        tag = jnp.where(soft_ok, 6, tag)
+        tag = jnp.where(jnp.logical_not(accepted), 8, tag)
+        tag = jnp.where(need_resto, 7, tag)
+        bits = ((sr.residual_ratio > opts.residual_ratio_max).astype(jnp.int32)
+                | ((sr.num_trials > 1).astype(jnp.int32) << 1)
+                | (st.wd_active.astype(jnp.int32) << 2))
         _print_iter(st.iter_count, ev.f, inf_pr_show, dual_inf, mu, step_norm,
                     sr.delta_x, ls.alpha_dual, ls.alpha_primal,
-                    ls.n_backtracks, print_freq=opts.print_frequency_iter)
+                    ls.n_backtracks, print_freq=opts.print_frequency_iter,
+                    tag_code=tag, info_bits=bits,
+                    print_info_string=opts.print_info_string,
+                    print_freq_time=opts.print_frequency_time)
 
     # --- intermediate_callback (TNLP::intermediate_callback parity,
     #     IpTNLP.hpp:665: per-iteration user hook with premature stop) -----
@@ -1028,6 +1105,29 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         jnp.logical_and(jnp.all(jnp.isfinite(ev_new.c)),
                         jnp.logical_and(jnp.all(jnp.isfinite(ev_new.d)),
                                         jnp.all(jnp.isfinite(ev_new.grad_f)))))
+    if opts.check_derivatives_for_naninf:
+        # check_derivatives_for_naninf (TNLPAdapter::CheckDerivatives...,
+        # IpTNLPAdapter.cpp:1180): probe the Jacobian and Lagrangian-Hessian
+        # actions for non-finite entries at the accepted point (matrix-free:
+        # J 1 and W 1 hit every stored entry).
+        ones = jnp.ones_like(new_it.x)
+        jc1 = jax.jvp(nlp.eval_c, (new_it.x,), (ones,))[1]
+        jd1 = jax.jvp(nlp.eval_d, (new_it.x,), (ones,))[1]
+
+        def glag(xx):
+            val = nlp.eval_f(xx)
+            if nlp.struct.me:
+                val = val + jnp.dot(new_it.y_c, nlp.eval_c(xx))
+            if nlp.struct.mi:
+                val = val + jnp.dot(new_it.y_d, nlp.eval_d(xx))
+            return val
+
+        w1 = jax.jvp(jax.grad(glag), (new_it.x,), (ones,))[1]
+        finite_ok = jnp.logical_and(
+            finite_ok,
+            jnp.logical_and(jnp.all(jnp.isfinite(jc1)),
+                            jnp.logical_and(jnp.all(jnp.isfinite(jd1)),
+                                            jnp.all(jnp.isfinite(w1)))))
     status = jnp.where(
         jnp.logical_and(status == int(SolverReturn.CONTINUE),
                         jnp.logical_not(finite_ok)),
@@ -1260,6 +1360,7 @@ def _solve_canonical(nlp: CanonicalNLP, opts: Options,
 
 def solve(problem, options: Optional[Options] = None, it0=None,
           intermediate_callback=None, custom_kkt_solver=None,
+          finalize_solution=None,
           **option_kwargs) -> SolveResult:
     """Top-level entry (IpoptApplication::OptimizeTNLP equivalent).
 
@@ -1307,7 +1408,8 @@ def solve(problem, options: Optional[Options] = None, it0=None,
     if opts.print_options_documentation and opts.print_level > 0:
         from ..options import print_options_documentation as _pod
         jnlst.printf(EJournalLevel.J_SUMMARY, EJournalCategory.J_MAIN,
-                     _pod() + "\n")
+                     _pod(mode=opts.print_options_mode,
+                          advanced=opts.print_advanced_options) + "\n")
     if intermediate_callback is not None:
         from ..options import register_callback
         opts = opts.replace(
@@ -1354,11 +1456,14 @@ def solve(problem, options: Optional[Options] = None, it0=None,
             from ..interfaces.transforms import reduce_constraints
             problem = reduce_constraints(problem, deps)
     _user_nlp = problem if isinstance(problem, NLP) else None
-    if isinstance(problem, NLP) and opts.linear_solver == "banded-bcr":
-        # General-sparsity path: symbolic analysis -> RCM banding -> BCR
-        # (the MA27/MA57 capability class; ipopt_tpu/sparse.py).  Uses the
-        # NLP's declared jac_g_sparsity / lag_hess_sparsity when present,
-        # exact AD auto-detection otherwise.
+    if isinstance(problem, NLP) and opts.linear_solver in ("banded-bcr",
+                                                           "multifrontal"):
+        # General-sparsity path: symbolic analysis -> RCM banding -> BCR,
+        # or nested-dissection multifrontal for patterns RCM cannot band
+        # (the MA27/MA57 capability class; ipopt_tpu/sparse.py +
+        # linalg/nested_dissection.py).  Uses the NLP's declared
+        # jac_g_sparsity / lag_hess_sparsity when present, exact AD
+        # auto-detection otherwise.
         from ..sparse import canonicalize_sparse
         cnlp = canonicalize_sparse(problem, opts)
     elif isinstance(problem, NLP):
@@ -1435,10 +1540,20 @@ def solve(problem, options: Optional[Options] = None, it0=None,
             print(f"Hessian evaluations.................: {int(c.n_hess_evals)}")
             print(f"KKT factorizations..................: {int(c.n_factorizations)}")
             print(f"KKT backsolve batches...............: {int(c.n_kkt_solves)}")
-        return res
-    if time_limited:
-        return _solve_time_limited(cnlp, opts, it0)
-    return _solve_canonical(cnlp, opts, it0)
+    elif time_limited:
+        res = _solve_time_limited(cnlp, opts, it0)
+    else:
+        res = _solve_canonical(cnlp, opts, it0)
+    if finalize_solution is not None and not opts.skip_finalize_solution_call:
+        # TNLP::finalize_solution parity (IpTNLP.hpp:597; gated by
+        # skip_finalize_solution_call, IpIpoptApplication.cpp:120-124):
+        # hand the user the final primal-dual point in user space.
+        finalize_solution(
+            status=int(res.status), x=np.asarray(res.x),
+            z_L=np.asarray(res.z_L), z_U=np.asarray(res.z_U),
+            g=np.asarray(res.g), lambda_=np.asarray(res.y),
+            obj_value=float(res.obj))
+    return res
 
 
 def _print_header():

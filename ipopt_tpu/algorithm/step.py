@@ -410,7 +410,11 @@ def compute_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
         # the Hessian curvature along dx is sufficiently positive:
         #     dx' (W + delta_x I) dx >= neg_curv_test_tol * ||dx||^2.
         dx = xsplit[0]
-        curv = jnp.dot(dx, W @ dx) + fr.delta_x * jnp.dot(dx, dx)
+        curv = jnp.dot(dx, W @ dx)
+        if opts.neg_curv_test_reg:
+            # neg_curv_test_reg (IpPDFullSpaceSolver.cpp:71-76): include the
+            # primal regularization in the tested curvature
+            curv = curv + fr.delta_x * jnp.dot(dx, dx)
         curv_ok = curv >= opts.neg_curv_test_tol * jnp.dot(dx, dx)
         failed = jnp.logical_and(failed, jnp.logical_not(curv_ok))
     step = direction_from_parts(nlp, it, xsplit, mu, failed)

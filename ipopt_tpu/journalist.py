@@ -164,6 +164,11 @@ def configure_from_options(opts) -> Journalist:
     con = _default.get_journal("console")
     if con is not None:
         con.set_all_print_levels(opts.print_level)
+        dbg = getattr(opts, "debug_print_level", 0)
+        if dbg:
+            # debug_print_level (IpDebug.cpp / IpIpoptApplication.cpp:168):
+            # separate verbosity for the J_DBG debug category
+            con.set_print_level(EJournalCategory.J_DBG, dbg)
     if getattr(opts, "output_file", ""):
         j = _default.add_file_journal(
             "output_file", opts.output_file,

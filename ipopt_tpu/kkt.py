@@ -58,8 +58,12 @@ def evaluate(nlp: CanonicalNLP, x: jnp.ndarray) -> Evals:
         grad_f = nlp.eval_grad_f(x)
         c, c_vjp = jax.vjp(nlp.eval_c, x)
         d, d_vjp = jax.vjp(nlp.eval_d, x)
+        # dtype-tolerant cotangents (mixed-precision modes may hand f32
+        # multipliers to an f64 evaluation point)
+        cdt = x.dtype
         return Evals(f=f, grad_f=grad_f, c=c, d=d, J_c=None, J_d=None,
-                     jc_t=lambda y: c_vjp(y)[0], jd_t=lambda y: d_vjp(y)[0])
+                     jc_t=lambda y: c_vjp(y.astype(cdt))[0],
+                     jd_t=lambda y: d_vjp(y.astype(cdt))[0])
     f, grad_f, c, d, J_c, J_d = nlp.eval_all(x)
     return Evals(f=f, grad_f=grad_f, c=c, d=d, J_c=J_c, J_d=J_d,
                  jc_t=lambda y: J_c.T @ y, jd_t=lambda y: J_d.T @ y)

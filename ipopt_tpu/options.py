@@ -429,9 +429,10 @@ class Options:
     jac_d_constant: bool = _opt(False, "NLP", "Hint: inequality Jacobian is constant (accepted; XLA CSE).")
     hessian_constant: bool = _opt(False, "NLP", "Hint: Lagrangian Hessian is constant (accepted; XLA CSE).")
     # Derivative approximation (IpTNLPAdapter.hpp:258-266).  Derivatives come
-    # from JAX autodiff (exact by construction); the FD fallbacks exist in
-    # the reference for users without coded derivatives, which cannot occur
-    # here — registered for option-file compatibility, 'exact' enforced.
+    # from JAX autodiff (exact by construction); gradient_approximation=
+    # finite-difference-values nevertheless switches the objective gradient
+    # to vmapped forward differences with findiff_perturbation (useful to
+    # reproduce FD-noise behavior of the reference's GradientApproximation).
     gradient_approximation: str = _opt("exact", "NLP", "Objective gradient source.",
                                        choices=("exact", "finite-difference-values"))
     jacobian_approximation: str = _opt("exact", "NLP", "Constraint Jacobian source.",
@@ -570,6 +571,14 @@ class Options:
             # dtype also keeps the nested carry homogeneous
             refinement_precision="same",
         )
+        if (self.limited_memory_special_for_resto
+                and self.hessian_approximation == "limited-memory"):
+            # limited_memory_special_for_resto
+            # (IpLimMemQuasiNewtonUpdater.cpp:136-147): approximate only the
+            # ORIGINAL part of the resto Lagrangian Hessian with a plain
+            # scalar-initialized L-BFGS (fresh memory, no damping carryover)
+            overrides["limited_memory_initialization"] = "constant"
+            overrides["limited_memory_init_val"] = 1.0
         # The CG penalty acceptor never runs a restoration phase of its own
         # (CGPenaltyLSAcceptor::NeverRestorationPhase); the nested resto
         # algorithm always uses the filter search.
@@ -595,23 +604,52 @@ def all_specs() -> Dict[str, OptionSpec]:
     return dict(_REGISTRY)
 
 
-def print_options_documentation() -> str:
-    """Mirrors Ipopt's print_options_documentation (IpRegOptions latex/doc dump)."""
+def print_options_documentation(mode: str = "text",
+                                advanced: bool = False) -> str:
+    """Mirrors Ipopt's print_options_documentation (IpRegOptions dump).
+
+    ``mode`` follows print_options_mode ("text" | "latex" | "doxygen",
+    RegisteredOptions::OutputLatex/OutputDoxygen); ``advanced`` follows
+    print_advanced_options (include the registration internals — bounds
+    strictness and value types — beyond the user-facing summary)."""
     by_cat: Dict[str, list] = {}
     for spec in all_specs().values():
         by_cat.setdefault(spec.category, []).append(spec)
     lines = []
+
+    def _rng(spec):
+        if spec.choices:
+            return f" one of {spec.choices}"
+        if spec.lower is not None or spec.upper is not None:
+            lo = "(" if spec.lower_strict else "["
+            hi = ")" if spec.upper_strict else "]"
+            return f" range {lo}{spec.lower}, {spec.upper}{hi}"
+        return ""
+
     for cat in sorted(by_cat):
-        lines.append(f"\n### {cat}\n")
+        if mode == "latex":
+            lines.append(f"\n\\subsection{{{cat}}}\n")
+        elif mode == "doxygen":
+            lines.append(f"\n\\subpage {cat.replace(' ', '_')} {cat}\n")
+        else:
+            lines.append(f"\n### {cat}\n")
         for spec in sorted(by_cat[cat], key=lambda s: s.name):
-            rng = ""
-            if spec.choices:
-                rng = f" one of {spec.choices}"
-            elif spec.lower is not None or spec.upper is not None:
-                lo = "(" if spec.lower_strict else "["
-                hi = ")" if spec.upper_strict else "]"
-                rng = f" range {lo}{spec.lower}, {spec.upper}{hi}"
-            lines.append(f"{spec.name} (default {spec.default!r}){rng}\n    {spec.doc}")
+            if mode == "latex":
+                lines.append(
+                    f"\\paragraph{{{spec.name}}} (default "
+                    f"\\texttt{{{spec.default!r}}}){_rng(spec)}\\\\\n"
+                    f"{spec.doc}")
+            elif mode == "doxygen":
+                lines.append(f"- \\b {spec.name} (default {spec.default!r})"
+                             f"{_rng(spec)}: {spec.doc}")
+            else:
+                lines.append(f"{spec.name} (default {spec.default!r})"
+                             f"{_rng(spec)}\n    {spec.doc}")
+            if advanced:
+                lines.append(
+                    f"    [type {type(spec.default).__name__};"
+                    f" lower_strict={spec.lower_strict}"
+                    f" upper_strict={spec.upper_strict}]")
     return "\n".join(lines)
 
 

@@ -83,12 +83,16 @@ class CanonicalStructure:
     free_idx: np.ndarray  # indices into x_full of free variables, (n,)
     fixed_idx: np.ndarray  # indices into x_full of fixed variables
     fixed_treatment: str
+    # gradient_approximation="finite-difference-values": forward-difference
+    # objective gradient with this perturbation (0 = exact AD gradient;
+    # TNLPAdapter GradientApproximation, IpTNLPAdapter.hpp:258-266)
+    fd_grad_eps: float = 0.0
 
     def _key(self):
         return (self.n_full, self.n, self.m, self.me, self.mi,
                 self.eq_idx.tobytes(), self.ineq_idx.tobytes(),
                 self.free_idx.tobytes(), self.fixed_idx.tobytes(),
-                self.fixed_treatment)
+                self.fixed_treatment, self.fd_grad_eps)
 
     def __hash__(self):
         return hash(self._key())
@@ -171,6 +175,15 @@ class CanonicalNLP(NamedTuple):
         return self.obj_scale * self.f(self.x_full(x), self.params)
 
     def eval_grad_f(self, x):
+        eps = getattr(self.struct, "fd_grad_eps", 0.0)
+        if eps:
+            # gradient_approximation="finite-difference-values": vmapped
+            # forward differences with findiff_perturbation (the reference's
+            # GradientApproximation path, IpTNLPAdapter.cpp:1355-1385)
+            f0 = self.eval_f(x)
+            seeds = jnp.eye(x.shape[0], dtype=x.dtype)
+            return jax.vmap(
+                lambda e: (self.eval_f(x + eps * e) - f0) / eps)(seeds)
         return jax.grad(self.eval_f)(x)
 
     def _g_split(self, xf):
@@ -355,7 +368,10 @@ def canonicalize(nlp: NLP, options: Optional[Options] = None,
     struct = CanonicalStructure(
         n_full=n_full, n=n, m=m, me=me, mi=mi, eq_idx=eq_idx,
         ineq_idx=ineq_idx, free_idx=free_idx, fixed_idx=fixed_idx,
-        fixed_treatment=treatment)
+        fixed_treatment=treatment,
+        fd_grad_eps=(opts.findiff_perturbation
+                     if opts.gradient_approximation
+                     == "finite-difference-values" else 0.0))
 
     x_fixed = np.where(fixed_mask, x_L, 0.0) if len(fixed_idx) else np.zeros(n_full)
 

