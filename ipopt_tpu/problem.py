@@ -189,6 +189,13 @@ class CanonicalNLP(NamedTuple):
     def _g_split(self, xf):
         gv = self.g(xf, self.params)
         s = self.struct
+        # all-equality (or all-inequality) with identity row order: skip the
+        # gather — at n=1e6 the embedded (m,) index constant alone exceeds
+        # the remote-compile relay's module size limit (HTTP 413)
+        if s.mi == 0 and s.me == s.m:
+            return self.c_scale * (gv - self.c_rhs), jnp.zeros((0,), xf.dtype)
+        if s.me == 0 and s.mi == s.m:
+            return jnp.zeros((0,), xf.dtype), self.d_scale * gv
         c = gv[jnp.asarray(s.eq_idx)] - self.c_rhs if s.me else jnp.zeros((0,), xf.dtype)
         d = gv[jnp.asarray(s.ineq_idx)] if s.mi else jnp.zeros((0,), xf.dtype)
         return self.c_scale * c, self.d_scale * d

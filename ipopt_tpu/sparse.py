@@ -665,6 +665,12 @@ def compressed_jacobian_raw(nlp: CanonicalNLP, x):
 def _row_scale(nlp: CanonicalNLP):
     """(m,) per-user-row scale factor (c_scale / d_scale scattered back)."""
     s = nlp.struct
+    # pure-eq / pure-ineq: row order is the identity, skip the (m,) index
+    # constants (they dominate the module size at n = 1e6)
+    if s.mi == 0 and s.me == s.m:
+        return jnp.broadcast_to(nlp.c_scale, (s.m,)).astype(nlp.x0.dtype)
+    if s.me == 0 and s.mi == s.m:
+        return jnp.broadcast_to(nlp.d_scale, (s.m,)).astype(nlp.x0.dtype)
     rs = jnp.ones((s.m,), nlp.x0.dtype)
     if s.me:
         rs = rs.at[jnp.asarray(s.eq_idx)].set(nlp.c_scale)

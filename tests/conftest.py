@@ -20,11 +20,14 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the jitted solver is one large program per
 # (problem structure, options) pair; caching across pytest runs cuts the
-# dev cycle from minutes to seconds.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# dev cycle from minutes to seconds.  IPOPT_TPU_NO_CACHE=1 disables it
+# (the jaxlib in this image occasionally SIGABRTs deserializing an entry
+# it wrote earlier in the same process — use for clean validation runs).
+if not os.environ.get("IPOPT_TPU_NO_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 
