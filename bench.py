@@ -255,7 +255,11 @@ def phase_mittelmann(N=100):
     import jax.numpy as jnp
 
     def make(opts):
-        bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False)
+        # mc19/Ruiz equilibration: the N=100 grid packs O(1/mu) Sigmas and
+        # O(1) PDE rows into 408-wide blocks; unequilibrated f32 elimination
+        # loses the small pivots (r4: status 10 line-search failure at iter 5)
+        bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False,
+                             linear_system_scaling="mc19")
         cnlp = canonicalize_sparse(mittelmann_dist_control(N), bopts)
 
         def fact_builder(cnlp, bopts):
