@@ -6,14 +6,23 @@ Headline metric: batched HS071-family NLPs/second (vmapped lockstep IPM)
 vs scipy SLSQP on CPU (reference Ipopt+MA57 cannot be built in this image —
 no HSL/MUMPS, no egress).
 
-Architecture (round 3): every phase runs in a FRESH SUBPROCESS because any
-device->host transfer permanently degrades all later dispatches on the
-tunneled TPU to ~100 ms each (see BASELINE.md "dispatch poison").  Within a
-phase the order is strictly build -> compile/warm -> time -> transfer.
-Each phase has a hard subprocess timeout and the parent always emits the
-final JSON line, whatever the children do.
+Measurement protocol for the tunneled TPU (round 5; supersedes the r3
+"dispatch poison" model — see BASELINE.md):
+- ``jax.block_until_ready`` DOES NOT BLOCK on the axon tunnel: dispatch is
+  lazy and execution is only forced by a device->host transfer.  Every
+  timing therefore sandwiches the work between transfers ("forced" timing),
+  and the measured per-roundtrip overhead (a trivial jitted op + transfer,
+  ~30 ms) is subtracted.
+- The first forced execution of a fresh executable pays a one-time
+  program-load through the tunnel (minutes for a 74 MB executable); it is
+  reported as ``load_s`` and excluded from the steady-state numbers.
+- Setup work (canonicalize, problem stacking) runs on the host CPU backend
+  (``jax_platforms="axon,cpu"``): on the tunnel every tiny eager op is a
+  network round trip (512 canonicalizations: ~500 s tunneled, ~37 s host).
+- Every phase runs in a fresh subprocess with a hard timeout; the parent
+  always emits the final JSON line, whatever the children do.
 
-Scale metrics (BASELINE.md items 3-4, VERDICT r2 next-round item 1):
+Scale metrics (BASELINE.md items 3-4):
 - lv1_banded_1e5 / 1e6: LuksanVlcek1 as a flat NLP through the
   general-sparsity banded-BCR backend (declared pattern -> RCM -> BCR).
 - mittelmann_N100: 2-D PDE distributed control (MittelmannDistCntrlNeumA1)
@@ -29,12 +38,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 T_START = time.perf_counter()
 # The driver kills the whole bench at ~1200 s (observed r3); keep the total
-# and the per-phase timeouts strictly inside that so every phase gets a turn.
+# strictly inside that so every phase gets a turn.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
-# A warm-cache phase needs seconds, not minutes; 180 s x 5 phases = 900 s.
-# For a local cache-WARMING run (cold remote-tunnel compiles), override both:
-#   BENCH_BUDGET_S=7200 BENCH_PHASE_TIMEOUT_S=3600 python bench.py
-PHASE_TIMEOUT_S = float(os.environ.get("BENCH_PHASE_TIMEOUT_S", "180"))
+# Per-phase cap.  A warm phase = deserialize (~20 s) + program upload/load
+# (~1-4 min for the big scale programs) + a few forced solves.  Phases run
+# fastest-first and each gets min(cap, 0.9 * time left).
+PHASE_TIMEOUT_S = float(os.environ.get("BENCH_PHASE_TIMEOUT_S", "420"))
 
 
 def _left():
@@ -46,7 +55,14 @@ def _left():
 # ---------------------------------------------------------------------------
 
 def _child_setup():
+    # Expose the host CPU backend next to the tunneled TPU so that setup
+    # work (canonicalize / stacking) never rides the tunnel.  The ambient
+    # env pins JAX_PLATFORMS=axon; config must be updated before backend
+    # initialization (a sitecustomize pre-imports jax but does not
+    # initialize a backend).
     import jax
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "axon,cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -65,31 +81,41 @@ def _child_setup():
     return jax, opts, dtype_str
 
 
-def _hbm_bw_bytes_per_s(jax):
-    try:
-        kind = jax.devices()[0].device_kind.lower()
-    except Exception:
-        kind = ""
-    if "v5 lite" in kind or "v5e" in kind:
-        return 820e9
-    if "v6" in kind:
-        return 1640e9
-    if "v4" in kind:
-        return 1230e9
-    return 820e9
+def _roundtrip_overhead_s(jax):
+    """Median cost of (trivial jitted op + scalar transfer): the fixed
+    per-forced-execution overhead to subtract from timed sections."""
+    import jax.numpy as jnp
+    one = jnp.ones(())
+    f = jax.jit(lambda a: a * 1.0)
+    float(f(one))  # compile + load
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(one))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
-def _bcr_traffic_bytes(nb, b, dtype_bytes=4):
-    """Estimated HBM traffic of one BCR factorization (~9 passes over the
-    2x(nb, b, b) arrays across the geometric levels)."""
-    return 9.0 * 2.0 * nb * b * b * dtype_bytes
+def _timed_forced(fn, force, reps=3, overhead=0.0):
+    """min over reps of [dispatch fn() then force a scalar transfer]."""
+    best = None
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        force(out)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return max(best - overhead, 0.0), out
 
 
 def phase_hs071(B=512):
     import numpy as np
     jax, opts, dtype_str = _child_setup()
     import jax.numpy as jnp
-    from ipopt_tpu.batch import stack_problems, _solve_batched_jit
+    from ipopt_tpu.batch import (stack_problems, _solve_batched_jit,
+                                 host_cpu_device, device_put_tree)
     from ipopt_tpu.problem import NLP
 
     def family(delta):
@@ -103,29 +129,32 @@ def phase_hs071(B=512):
             g_U=jnp.array([2e19, 40.0 + delta]),
             x0=jnp.array([1.0, 5.0, 5.0, 1.0]))
 
+    t0 = time.perf_counter()
     nlp_b = stack_problems([family(0.005 * i) for i in range(B)], opts)
+    t_build = time.perf_counter() - t0
+    if host_cpu_device() is not None:
+        nlp_b = device_put_tree(nlp_b)
     nlp_1 = jax.tree.map(lambda x: x[:1], nlp_b)
 
-    # ---- compile + warm (NO device->host transfers before timing) ----
+    # ---- warm + force (program deserialize + tunnel load + first exec) ----
+    t0 = time.perf_counter()
     res = _solve_batched_jit(nlp_b, opts)
-    jax.block_until_ready(res.x)
+    float(jnp.sum(res.status))
+    load_b = time.perf_counter() - t0
+    t0 = time.perf_counter()
     r1 = _solve_batched_jit(nlp_1, opts)
-    jax.block_until_ready(r1.x)
+    float(jnp.sum(r1.status))
+    load_1 = time.perf_counter() - t0
+    ovh = _roundtrip_overhead_s(jax)
 
-    # ---- time ----
-    t0 = time.perf_counter()
-    res = _solve_batched_jit(nlp_b, opts)
-    jax.block_until_ready(res.x)
-    dt_batched = time.perf_counter() - t0
+    # ---- timed (forced) ----
+    dt_batched, res = _timed_forced(
+        lambda: _solve_batched_jit(nlp_b, opts),
+        lambda r: float(jnp.sum(r.status)), reps=3, overhead=ovh)
+    dt_seq, _ = _timed_forced(
+        lambda: _solve_batched_jit(nlp_1, opts),
+        lambda r: float(jnp.sum(r.status)), reps=4, overhead=ovh)
 
-    reps = 8
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r1 = _solve_batched_jit(nlp_1, opts)
-        jax.block_until_ready(r1.x)
-    dt_seq = (time.perf_counter() - t0) / reps
-
-    # ---- transfers allowed from here on ----
     n_ok = int(np.sum(np.asarray(res.status) == 0))
     iters_med = int(np.median(np.asarray(res.iter_count)))
 
@@ -143,7 +172,7 @@ def phase_hs071(B=512):
                             bounds=[(1, 5)] * 4, constraints=[c1, c2],
                             options={"ftol": 1e-9, "maxiter": 100})
 
-        nrep = 40
+        nrep = 24
         t0 = time.perf_counter()
         for i in range(nrep):
             scipy_one(0.005 * (i % 50))
@@ -155,61 +184,58 @@ def phase_hs071(B=512):
         "nlps_per_sec": round(B / dt_batched, 2),
         "batch": B, "converged": n_ok,
         "batched_wall_s": round(dt_batched, 4),
-        "sequential_nlps_per_sec": round(1.0 / dt_seq, 2),
+        "sequential_nlps_per_sec": round(1.0 / max(dt_seq, 1e-9), 2),
         "scipy_slsqp_nlps_per_sec":
             round(slsqp_per_sec, 2) if slsqp_per_sec else None,
         "iters_med": iters_med,
+        "build_s": round(t_build, 1),
+        "load_s": round(load_b + load_1, 1),
+        "overhead_ms": round(ovh * 1e3, 1),
         "dtype": dtype_str,
     }
 
 
 def _scale_phase(make_cnlp):
-    """Common body for the banded/chained scale phases: canonicalize, warm,
-    time the steady re-solve and the isolated factorize kernel, then (only
-    then) transfer statuses."""
-    import numpy as np
+    """Common body for the scale phases: canonicalize on the host, one bulk
+    transfer, warm+force (pays the one-time program load), then forced
+    steady-state re-solve timing."""
     jax, opts, dtype_str = _child_setup()
     import jax.numpy as jnp
     from ipopt_tpu.algorithm.solver import solve
+    from ipopt_tpu.batch import host_cpu_device, device_put_tree
 
+    host = host_cpu_device()
     t0 = time.perf_counter()
-    cnlp, bopts, fact_builder, shape_info = make_cnlp(opts)
+    if host is not None:
+        with jax.default_device(host):
+            cnlp, bopts, shape_info = make_cnlp(opts)
+    else:
+        cnlp, bopts, shape_info = make_cnlp(opts)
     t_sym = time.perf_counter() - t0
+    if host is not None:
+        cnlp = device_put_tree(cnlp)
 
-    # ---- compile + warm ----
-    r = solve(cnlp, bopts)
-    jax.block_until_ready(r.x)
-    t_warm = time.perf_counter() - t0 - t_sym
-
-    # ---- time the steady re-solve ----
+    # ---- warm + force: deserialize + tunnel program load + first exec ----
     t0 = time.perf_counter()
     r = solve(cnlp, bopts)
-    jax.block_until_ready(r.x)
-    dt = time.perf_counter() - t0
+    float(r.status)
+    t_load = time.perf_counter() - t0
+    ovh = _roundtrip_overhead_s(jax)
 
-    # ---- time the isolated factorize kernel at the solution iterate ----
-    fact_j = jax.jit(fact_builder(cnlp, bopts))
-    out = fact_j(r.iterate, r.mu)
-    jax.block_until_ready(out.delta_x)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fact_j(r.iterate, r.mu)
-    jax.block_until_ready(out.delta_x)
-    dt_fact = (time.perf_counter() - t0) / reps
+    # ---- steady-state forced re-solve ----
+    dt, r = _timed_forced(lambda: solve(cnlp, bopts),
+                          lambda rr: float(rr.status), reps=3, overhead=ovh)
 
-    # ---- transfers allowed from here on ----
     iters = max(int(r.iter_count), 1)
     nb, b = shape_info
-    frac = _bcr_traffic_bytes(nb, b) / (dt_fact * _hbm_bw_bytes_per_s(jax))
     return {
         "status": int(r.status), "iters": iters,
         "ms_per_iter": round(dt / iters * 1e3, 3),
         "wall_s": round(dt, 3),
-        "warm_s": round(t_warm, 1),
-        "fact_ms": round(dt_fact * 1e3, 3),
-        "fact_trials": int(out.num_trials),
-        "roofline_frac": round(frac, 3),
+        "load_s": round(t_load, 1),
+        "overhead_ms": round(ovh * 1e3, 1),
+        "fact_trials": int(r.counters.n_factorizations) // iters
+        if hasattr(r.counters, "n_factorizations") else None,
         "obj": float(r.obj),
         "nb": nb, "block": b, "symbolic_s": round(t_sym, 2),
         "dtype": dtype_str,
@@ -223,22 +249,12 @@ def phase_lv1_banded(n):
     this scale (LV1's path never triggers it; tracing it would double the
     remote-compile size) — the measured hot path is unchanged."""
     from ipopt_tpu.modellib import luksan_vlcek1_flat
-    from ipopt_tpu.sparse import (canonicalize_sparse, banded_factorize_kkt,
-                                  sparse_hessian_values)
-    import jax.numpy as jnp
+    from ipopt_tpu.sparse import canonicalize_sparse
 
     def make(opts):
         bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False)
         cnlp = canonicalize_sparse(luksan_vlcek1_flat(n), bopts)
-
-        def fact_builder(cnlp, bopts):
-            def _fact(it, mu):
-                hv = sparse_hessian_values(cnlp, it)
-                dwl = jnp.zeros((), it.x.dtype)
-                return banded_factorize_kkt(cnlp, bopts, it, hv, mu, dwl)
-            return _fact
-
-        return cnlp, bopts, fact_builder, (cnlp.chain.nb, cnlp.chain.b)
+        return cnlp, bopts, (cnlp.chain.nb, cnlp.chain.b)
 
     out = _scale_phase(make)
     out["n"] = n
@@ -250,9 +266,7 @@ def phase_mittelmann(N=100):
     sparsity backend (MittelmannDistCntrlNeumA1 — the reference registry's
     general-grid-sparsity case)."""
     from ipopt_tpu.modellib import mittelmann_dist_control
-    from ipopt_tpu.sparse import (canonicalize_sparse, banded_factorize_kkt,
-                                  sparse_hessian_values)
-    import jax.numpy as jnp
+    from ipopt_tpu.sparse import canonicalize_sparse
 
     def make(opts):
         # mc19/Ruiz equilibration: the N=100 grid packs O(1/mu) Sigmas and
@@ -261,15 +275,7 @@ def phase_mittelmann(N=100):
         bopts = opts.replace(linear_solver="banded-bcr", resto_phase=False,
                              linear_system_scaling="mc19")
         cnlp = canonicalize_sparse(mittelmann_dist_control(N), bopts)
-
-        def fact_builder(cnlp, bopts):
-            def _fact(it, mu):
-                hv = sparse_hessian_values(cnlp, it)
-                dwl = jnp.zeros((), it.x.dtype)
-                return banded_factorize_kkt(cnlp, bopts, it, hv, mu, dwl)
-            return _fact
-
-        return cnlp, bopts, fact_builder, (cnlp.chain.nb, cnlp.chain.b)
+        return cnlp, bopts, (cnlp.chain.nb, cnlp.chain.b)
 
     out = _scale_phase(make)
     out["N"] = N
@@ -278,24 +284,12 @@ def phase_mittelmann(N=100):
 
 def phase_lv1_chained(n=4096, v=32):
     from ipopt_tpu.modellib import luksan_vlcek1
-    from ipopt_tpu.chained import canonicalize_chained, stage_jacobians
-    from ipopt_tpu.algorithm.chained_kkt import chained_factorize_kkt
-    from ipopt_tpu.algorithm.step import compute_hessian
-    import jax.numpy as jnp
+    from ipopt_tpu.chained import canonicalize_chained
 
     def make(opts):
         cnlp = canonicalize_chained(luksan_vlcek1(n, v), opts)
-
-        def fact_builder(cnlp, opts):
-            def _fact(it, mu):
-                AB = stage_jacobians(cnlp, it.x)
-                W = compute_hessian(cnlp, it)
-                dwl = jnp.zeros((), it.x.dtype)
-                return chained_factorize_kkt(cnlp, opts, it, AB, W, mu, dwl)
-            return _fact
-
         ch = cnlp.chain
-        return cnlp, opts, fact_builder, (ch.K + 1, ch.bs)
+        return cnlp, opts, (ch.K + 1, ch.bs)
 
     out = _scale_phase(make)
     out["n"] = n
@@ -311,10 +305,11 @@ PHASES = {
     "lv1_chained_4096": phase_lv1_chained,
 }
 
-# hs071 first (headline), quick phases next, the heaviest compile (1e6) LAST
-# so a cold cache there can never starve the other phases (r3 verdict item 2)
-PHASE_ORDER = ["hs071", "lv1_chained_4096", "lv1_banded_1e5",
-               "mittelmann_N100", "lv1_banded_1e6"]
+# hs071 first (headline), small/fast programs next, the heaviest program
+# loads (banded 1e5 then 1e6) LAST so their multi-minute tunnel uploads can
+# never starve the other phases.
+PHASE_ORDER = ["hs071", "mittelmann_N100", "lv1_chained_4096",
+               "lv1_banded_1e5", "lv1_banded_1e6"]
 
 
 def _run_child(name):
@@ -341,7 +336,7 @@ def main():
     detail = {}
     for name in PHASE_ORDER:
         left = _left()
-        if left < 30:
+        if left < 60:
             detail[name] = {"skipped": f"budget ({int(left)}s left)"}
             print(f"[bench] {name}: skipped (budget)", file=sys.stderr,
                   flush=True)
@@ -352,7 +347,7 @@ def main():
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
                 capture_output=True, text=True,
-                timeout=min(PHASE_TIMEOUT_S, max(left, 30)), cwd=REPO)
+                timeout=min(PHASE_TIMEOUT_S, max(0.9 * left, 60)), cwd=REPO)
             line = [ln for ln in proc.stdout.splitlines()
                     if ln.startswith("@@RESULT@@")]
             if line:
@@ -362,7 +357,8 @@ def main():
                 detail[name] = {"error": f"no result (rc={proc.returncode})",
                                 "stderr_tail": tail}
         except subprocess.TimeoutExpired:
-            detail[name] = {"error": f"phase timeout ({int(PHASE_TIMEOUT_S)}s)"}
+            detail[name] = {"error": f"phase timeout "
+                                     f"({int(time.perf_counter() - t0)}s)"}
         except Exception as e:
             detail[name] = {"error": repr(e)[:300]}
         # new persistent-cache entries => this phase COMPILED (cold cache);

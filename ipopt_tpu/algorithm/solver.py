@@ -1330,18 +1330,34 @@ def finalize(nlp: CanonicalNLP, opts: Options, st: IPMState) -> SolveResult:
     # user-order constraint values and multipliers
     s = nlp.struct
     m = s.m
-    g = jnp.zeros((m,), it.x.dtype)
-    y = jnp.zeros((m,), it.x.dtype)
-    if s.me:
-        g = g.at[jnp.asarray(s.eq_idx)].set(ev.c / nlp.c_scale + nlp.c_rhs)
-        y = y.at[jnp.asarray(s.eq_idx)].set(it.y_c * nlp.c_scale / nlp.obj_scale)
-    if s.mi:
-        g = g.at[jnp.asarray(s.ineq_idx)].set(ev.d / nlp.d_scale)
-        y = y.at[jnp.asarray(s.ineq_idx)].set(it.y_d * nlp.d_scale / nlp.obj_scale)
-    zl_full = jnp.zeros((s.n_full,), it.x.dtype).at[jnp.asarray(s.free_idx)].set(
-        it.z_L / nlp.obj_scale)
-    zu_full = jnp.zeros((s.n_full,), it.x.dtype).at[jnp.asarray(s.free_idx)].set(
-        it.z_U / nlp.obj_scale)
+    # Identity fast paths mirror CanonicalNLP._g_split: for pure-equality
+    # (or pure-inequality) problems the row order is the identity by
+    # construction, so skip the index scatters — at n = 1e6 the embedded
+    # (m,) index constants alone would blow up the lowered module (the
+    # remote-compile relay rejects oversized HLO payloads).
+    if s.me == s.m and s.mi == 0:
+        g = ev.c / nlp.c_scale + nlp.c_rhs
+        y = it.y_c * nlp.c_scale / nlp.obj_scale
+    elif s.mi == s.m and s.me == 0:
+        g = ev.d / nlp.d_scale
+        y = it.y_d * nlp.d_scale / nlp.obj_scale
+    else:
+        g = jnp.zeros((m,), it.x.dtype)
+        y = jnp.zeros((m,), it.x.dtype)
+        if s.me:
+            g = g.at[jnp.asarray(s.eq_idx)].set(ev.c / nlp.c_scale + nlp.c_rhs)
+            y = y.at[jnp.asarray(s.eq_idx)].set(it.y_c * nlp.c_scale / nlp.obj_scale)
+        if s.mi:
+            g = g.at[jnp.asarray(s.ineq_idx)].set(ev.d / nlp.d_scale)
+            y = y.at[jnp.asarray(s.ineq_idx)].set(it.y_d * nlp.d_scale / nlp.obj_scale)
+    if s.n == s.n_full:
+        zl_full = it.z_L / nlp.obj_scale
+        zu_full = it.z_U / nlp.obj_scale
+    else:
+        zl_full = jnp.zeros((s.n_full,), it.x.dtype).at[jnp.asarray(s.free_idx)].set(
+            it.z_L / nlp.obj_scale)
+        zu_full = jnp.zeros((s.n_full,), it.x.dtype).at[jnp.asarray(s.free_idx)].set(
+            it.z_U / nlp.obj_scale)
     return SolveResult(
         x=x_user, obj=ev.f / nlp.obj_scale, status=st.status,
         iter_count=st.iter_count, mu=st.mu, g=g, y=y, z_L=zl_full, z_U=zu_full,

@@ -18,6 +18,7 @@ from typing import Optional, Callable, Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .types import Iterate, SolverReturn
@@ -57,10 +58,36 @@ def _solve_batched_jit(nlp_b: CanonicalNLP, opts: Options) -> SolveResult:
     return jax.vmap(lambda n, s: finalize(n, opts, s))(nlp_b, st)
 
 
+def host_cpu_device():
+    """The host CPU device when one is exposed alongside an accelerator
+    (``jax_platforms="axon,cpu"``), else None.  Setup work — canonicalize,
+    stacking — belongs on the host: on a tunneled accelerator every tiny
+    eager op is a network round trip (512 canonicalizations cost ~500 s on
+    the tunnel vs ~37 s on host CPU)."""
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def stack_problems(problems, options: Optional[Options] = None) -> CanonicalNLP:
     """Stack structurally identical canonical problems into one batched
-    CanonicalNLP (leading batch axis on all array leaves)."""
+    CanonicalNLP (leading batch axis on all array leaves).
+
+    When a host CPU backend is available next to the accelerator, the
+    per-problem canonicalization and the stacking run there (one transfer at
+    solve time instead of thousands of eager accelerator ops)."""
     opts = options or Options()
+    host = host_cpu_device()
+    if host is not None:
+        with jax.default_device(host):
+            return _stack_problems_impl(problems, opts)
+    return _stack_problems_impl(problems, opts)
+
+
+def _stack_problems_impl(problems, opts: Options) -> CanonicalNLP:
     cs = [p if isinstance(p, CanonicalNLP) else canonicalize(p, opts)
           for p in problems]
     s0 = cs[0].struct
@@ -72,10 +99,30 @@ def stack_problems(problems, options: Optional[Options] = None) -> CanonicalNLP:
     # instance; per-instance data flows through bounds / c_rhs / x0 arrays).
     # We therefore keep the first instance's f/g and stack only array leaves.
     first = cs[0]
-    leaves0, _ = jax.tree.flatten(first)
-    stacked = [jnp.stack([jax.tree.flatten(c)[0][i] for c in cs])
-               for i in range(len(leaves0))]
+    all_leaves = [jax.tree.flatten(c)[0] for c in cs]
+
+    def on_accel(v):
+        return isinstance(v, jax.Array) and any(
+            d.platform != "cpu" for d in v.devices())
+
+    # Host-resident leaves stack via numpy (no device round trips); leaves
+    # already living on an accelerator keep the on-device jnp.stack path
+    # (np.asarray there would be a device->host transfer per leaf).
+    use_np = not any(on_accel(l) for ls in all_leaves for l in ls)
+    if use_np:
+        stacked = [np.stack([np.asarray(ls[i]) for ls in all_leaves])
+                   for i in range(len(all_leaves[0]))]
+    else:
+        stacked = [jnp.stack([ls[i] for ls in all_leaves])
+                   for i in range(len(all_leaves[0]))]
     return jax.tree.unflatten(jax.tree.structure(first), stacked)
+
+
+def device_put_tree(tree, device=None):
+    """Move every array leaf of a pytree onto ``device`` (default: the first
+    accelerator device) in one transfer batch."""
+    dev = device if device is not None else jax.devices()[0]
+    return jax.tree.map(lambda x: jax.device_put(x, dev), tree)
 
 
 def solve_batched(problem_batch, options: Optional[Options] = None,
@@ -103,6 +150,9 @@ def solve_batched(problem_batch, options: Optional[Options] = None,
                 mesh, jax.sharding.PartitionSpec(
                     *( (axis,) + (None,) * (x.ndim - 1) )))),
             nlp_b)
+    elif host_cpu_device() is not None:
+        # Host-stacked batch: one bulk transfer onto the accelerator.
+        nlp_b = device_put_tree(nlp_b)
     return _solve_batched_jit(nlp_b, opts)
 
 
