@@ -7,26 +7,42 @@ in ``IpIpoptApplication.cpp:509-520``):
   v toward feasibility by a dogleg between the Cauchy point of
   0.5||c + A v||^2 and an (inexact) Newton least-squares step, inside the
   trust region ||v|| <= omega * ||A^T c||; omega grows 10x (up to omega_max)
-  while the region stays inactive.
-- ``InexactSearchDirCalculator`` (IpInexactSearchDirCalc.hpp:46): total step d
-  from the primal-dual system with the constraint rows requiring A d = A v
-  (the normal step's linearized feasibility gain), solved inexactly by MINRES.
-- ``InexactPDTerminationTester``: the tangential component condition — either
-  ||u|| <= tcc_psi * ||v|| or positive curvature
-  u^T (W + Sigma + delta) u >= tcc_theta * mu^exp * ||u||^2 for u = d - v —
-  with the Hessian-perturbation escalation on failure and the pure-normal
-  (termination test 3) fallback.
+  while the region stays inactive.  The least-squares CG honors
+  ``inexact_normal_tol`` / ``inexact_normal_max_iter``
+  (IpInexactNormalTerminationTester.cpp:49-50).
+- ``InexactSearchDirCalculator`` (IpInexactSearchDirCalc.cpp:30-220): the
+  ``inexact_step_decomposition`` policy (always / adaptive / switch-once)
+  decides whether the constraint rows require A d = A v (decomposed) or the
+  full Newton A d = -c (undecomposed); the adaptive activation bit rides in
+  the IPM carry and is updated from the accepted step size with
+  ``inexact_decomposition_activate_tol`` / ``_inactivate_tol``
+  (IpInexactLSAcceptor.cpp:450-470).
+- ``InexactPDTerminationTester`` (IpInexactPDTerminationTester.cpp:220-730):
+  tangential component condition TCC1 (||u|| <= tcc_psi ||v||), TCC2a
+  (curvature >= tcc_theta mu^exp ||u||^2), TCC2b
+  (grad_barr^T u + v^T W u + 0.5 u^T W u <= tcc_zeta ||v||), termination
+  test 1 (residual + model-reduction with sigma = rho * tt_eps3), test 2
+  (dual progress <= tt_kappa2 * ||grad phi + A^T y||, tried only when
+  ||A^T c|| <= tt_eps2 * that norm), and test 3 (linearized feasibility
+  gain >= tt_eps3 * the normal step's gain) — with the Hessian-perturbation
+  escalation on failure and the pure-normal fallback.
+- ``InexactPDSolver`` (IpInexactPDSolver.cpp:159-175):
+  ``modify_hessian_with_slacks`` replaces the slack-block perturbation
+  delta by mu * delta / slack^2 (scaled: + mu * delta on the s~ diagonal).
 - ``InexactLSAcceptor``: penalty-function line search on
   phi_mu + nu * ||(c, d-s)||_2 with the exact nu update
   (IpInexactLSAcceptor.cpp:120-260) and the Curtis-Nocedal flexible penalty
   interval [nu_low, nu] (:330-366).
-- Slack scaling (``InexactTSymScalingMethod``): all step norms and the
-  tangential decomposition live in the slack-scaled space s~ = s / slack.
+- Slack scaling (``InexactTSymScalingMethod`` / InexactCq::
+  curr_scaling_slacks, IpInexactCq.cpp:90-125): all step norms and the
+  tangential decomposition live in the slack-scaled space s~ = s / S with
+  S = min(slack, slack_scale_max); ``inexact_linear_system_scaling=none``
+  turns the scaling off.
 
 TPU-native design: all operators are AD products (HVP/JVP/VJP) — no matrices
 are materialized; the dogleg, CG (normal) and MINRES (tangential) loops are
-bounded ``lax.while_loop``s; the trust-region factor and the two penalty
-parameters ride in the IPM carry.
+bounded ``lax.while_loop``s; the trust-region factor, the two penalty
+parameters, and the adaptive-decomposition bit ride in the IPM carry.
 """
 from __future__ import annotations
 
@@ -55,13 +71,18 @@ class InexactAux(NamedTuple):
     grad_barr_t_delta: jnp.ndarray    # grad phi . (dx, ds)
 
 
-def _scaling_slacks(nlp: CanonicalNLP, it: Iterate):
-    """S = the s-variable scaling slacks (InexactCq::curr_scaling_slacks):
-    the distance to the nearest bound, 1 where unbounded."""
+def _scaling_slacks(nlp: CanonicalNLP, it: Iterate, opts: Options):
+    """S = the s-variable scaling slacks (InexactCq::curr_scaling_slacks,
+    IpInexactCq.cpp:90-125): the distance to the nearest bound capped at
+    ``slack_scale_max``, 1 where unbounded; identity when
+    ``inexact_linear_system_scaling="none"``."""
+    if opts.inexact_linear_system_scaling == "none":
+        return jnp.ones_like(it.s)
     _, _, sl_sL, sl_sU = slacks(nlp, it)
     S = jnp.where(nlp.has_dL & nlp.has_dU, jnp.minimum(sl_sL, sl_sU),
                   jnp.where(nlp.has_dL, sl_sL,
                             jnp.where(nlp.has_dU, sl_sU, 1.0)))
+    S = jnp.minimum(S, opts.slack_scale_max)
     return jnp.maximum(S, jnp.finfo(it.x.dtype).tiny)
 
 
@@ -91,19 +112,55 @@ def _cg(matvec, b, maxiter: int, rtol):
     return x
 
 
+def decomposition_initial_cn(opts: Options):
+    """Initial compute_normal per the step-decomposition policy
+    (IpInexactSearchDirCalc.cpp:54-69): always -> True, adaptive and
+    switch-once start undecomposed.  Returns None when the bit is static
+    (policy "always") so non-adaptive programs carry no extra state."""
+    if opts.inexact_step_decomposition == "always":
+        return None
+    return jnp.zeros((), bool)
+
+
+def decomposition_next_cn(opts: Options, cn, alpha_primal_test):
+    """Adaptive activation from the accepted step size
+    (IpInexactLSAcceptor::UpdateForNextIteration, :450-470)."""
+    if cn is None:
+        return None
+    nxt = jnp.where(jnp.logical_and(jnp.logical_not(cn),
+                                    alpha_primal_test
+                                    < opts.inexact_decomposition_activate_tol),
+                    True, cn)
+    if opts.inexact_step_decomposition == "adaptive":
+        nxt = jnp.where(jnp.logical_and(
+            cn, alpha_primal_test > opts.inexact_decomposition_inactivate_tol),
+            False, nxt)
+    # switch-once: once activated, stays activated
+    return nxt
+
+
 def inexact_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
-                             ev: Evals, mu, delta_w_last, tr_omega):
+                             ev: Evals, mu, delta_w_last, tr_omega,
+                             nu=None, compute_normal=None,
+                             last_ls_count=None):
     """Dogleg normal step + inexact tangential/total step.
+
+    ``nu``: current penalty parameter (for the TT1 model-reduction
+    condition); ``compute_normal``: traced bool from the carry (None =
+    statically decomposed, policy "always").
 
     Returns (StepResult, new_tr_omega, InexactAux)."""
     n, mi, me = nlp.n, nlp.mi, nlp.me
     dtype = it.x.dtype
     x = it.x
     sig = sigmas(nlp, it)
-    S = _scaling_slacks(nlp, it)
+    S = _scaling_slacks(nlp, it, opts)
     c = ev.c
     dms = ev.d - it.s
     theta2 = jnp.sqrt(jnp.sum(c ** 2) + jnp.sum(dms ** 2))
+    if nu is None:
+        nu = jnp.ones((), dtype)
+    cn = (jnp.ones((), bool) if compute_normal is None else compute_normal)
 
     # --- AD operator products (no materialized matrices) -------------------
     def grad_lag(xx):
@@ -149,6 +206,7 @@ def inexact_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
     vc_x, vc_s = -alpha_cs * g_x, -alpha_cs * g_s
 
     # --- Newton least-squares step: (A A^T + dn) w = -(c, dms), v = A^T w --
+    # CG controls: IpInexactNormalTerminationTester.cpp:49-50.
     dn = jnp.asarray(1e-10, dtype)
 
     def AAt(u_flat):
@@ -158,7 +216,8 @@ def inexact_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
         return jnp.concatenate([rc + dn * uc, rd + dn * ud])
 
     w = _cg(AAt, -jnp.concatenate([c, dms]),
-            maxiter=min(me + mi, 200), rtol=opts.tt_kappa1)
+            maxiter=min(me + mi, opts.inexact_normal_max_iter),
+            rtol=opts.inexact_normal_tol)
     vn_x, vn_s = AT(w[:me], w[me:])
 
     # --- Dogleg combination inside ||v|| <= omega * ||A^T c|| --------------
@@ -183,29 +242,52 @@ def inexact_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
     v_s = jnp.where(cauchy_hits_tr, vc_s,
                     jnp.where(newton_inside, vn_s, vd_s))
     feasible_already = theta2 <= 1e-12
-    v_x = jnp.where(feasible_already, 0.0, v_x)
-    v_s = jnp.where(feasible_already, 0.0, v_s)
+    use_v = jnp.logical_and(cn, jnp.logical_not(feasible_already))
+    v_x = jnp.where(use_v, v_x, 0.0)
+    v_s = jnp.where(use_v, v_s, 0.0)
     tr_inactive = jnp.logical_or(feasible_already, newton_inside)
     new_omega = jnp.where(tr_inactive,
                           jnp.minimum(opts.omega_max, 10.0 * tr_omega),
                           tr_omega)
 
-    # --- total step: MINRES on the scaled PD system with A d = A v ---------
+    # --- total step: MINRES on the scaled PD system ------------------------
+    # Constraint rows require A d = A v (decomposed) or the full Newton
+    # A d = -c (undecomposed) — IpInexactSearchDirCalc.cpp:146-171.
     parts = condensed_rhs_parts(nlp, it, ev, mu, opts.kappa_d)
     Av_c, Av_d = A(v_x, v_s)
     r_x = parts[0]
     r_st = S * parts[1]
+    rows_c = jnp.where(cn, Av_c, -c)
+    rows_d = jnp.where(cn, Av_d, -dms)
     N = n + mi + me + mi
-    rhs = jnp.concatenate([r_x, r_st, Av_c, Av_d])
+    rhs = jnp.concatenate([r_x, r_st, rows_c, rows_d])
     delta_cd = (opts.jacobian_regularization_value
                 * mu ** opts.jacobian_regularization_exponent)
     tcc_tol = opts.tcc_theta * mu ** opts.tcc_theta_mu_exponent
-    maxiter = min(4 * N, 400)
+    # inexact_desired_pd_residual_iter: Krylov iterations willing to be
+    # spent on the desired residual ratio (IpInexactPDTerminationTester
+    # .cpp:267); here it widens the MINRES iteration budget.
+    maxiter = min(4 * N, max(400, opts.inexact_desired_pd_residual_iter))
 
     # The reference's SMART tests tighten with the NLP error; tie the target
     # relative residual to mu so late iterations solve accurately.
     pd_rtol = jnp.minimum(opts.inexact_desired_pd_residual,
                           jnp.maximum(0.01 * mu, 100.0 * jnp.finfo(dtype).eps))
+
+    # --- current-point norms for the SMART termination tests ---------------
+    gphi_x = grad_barrier_x(nlp, it, ev.grad_f, mu, opts.kappa_d)
+    gphi_s = grad_barrier_s(nlp, it, mu, opts.kappa_d)
+    # curr_tt2 = ||grad phi + A~^T y|| (scaled space)
+    tt2_x, tt2_s = AT(it.y_c, it.y_d)
+    tt2_x = gphi_x + tt2_x
+    tt2_s = S * gphi_s + tt2_s
+    curr_tt2 = jnp.sqrt(jnp.sum(tt2_x ** 2) + jnp.sum(tt2_s ** 2))
+    cAv_norm = jnp.sqrt(jnp.sum((c + Av_c) ** 2) + jnp.sum((dms + Av_d) ** 2))
+    curr_tt1 = jnp.sqrt(curr_tt2 ** 2
+                        + jnp.where(cn, cAv_norm, theta2) ** 2)
+    eps_m = jnp.finfo(dtype).eps
+    try_tt2 = g_norm <= opts.tt_eps2 * curr_tt2
+    sigma_mrc = opts.rho * opts.tt_eps3
 
     def attempt(delta_x):
         def matvec(wv):
@@ -213,9 +295,15 @@ def inexact_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
             dst = wv[n:n + mi]
             dyc = wv[n + mi:n + mi + me]
             dyd = wv[n + mi + me:]
+            if opts.modify_hessian_with_slacks:
+                # IpInexactPDSolver.cpp:159-175: slack-block perturbation
+                # mu * delta / slack^2 (scaled: + mu * delta on s~ diag)
+                s_diag = S * sig.sigma_s * S + mu * delta_x
+            else:
+                s_diag = S * sig.sigma_s * S + delta_x
             o_x = (Wv(dx) + (sig.sigma_x + delta_x) * dx + JcT(dyc)
                    + JdT(dyd))
-            o_st = (S * sig.sigma_s * S + delta_x) * dst - S * dyd
+            o_st = s_diag * dst - S * dyd
             rc, rd = A(dx, dst)
             o_c = rc - delta_cd * dyc
             o_d = rd - delta_cd * dyd
@@ -223,34 +311,99 @@ def inexact_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
 
         sol, relres = minres(matvec, rhs, maxiter, pd_rtol)
         dx, dst = sol[:n], sol[n:n + mi]
-        # Tangential component condition (InexactPDTerminationTester):
-        # u = d - v small vs v, or positive curvature along u.
+        dyc = sol[n + mi:n + mi + me]
+        dyd = sol[n + mi + me:]
+        # --- tangential component condition (TCC) --------------------------
         u_x, u_s = dx - v_x, dst - v_s
         u_nrm2 = jnp.sum(u_x ** 2) + jnp.sum(u_s ** 2)
         v_nrm2 = jnp.sum(v_x ** 2) + jnp.sum(v_s ** 2)
-        uWu = (jnp.dot(u_x, Wv(u_x)) + jnp.dot((sig.sigma_x + delta_x)
-                                               * u_x, u_x)
-               + jnp.dot((S * sig.sigma_s * S + delta_x) * u_s, u_s))
-        small = u_nrm2 <= opts.tcc_psi ** 2 * v_nrm2
-        curved = 0.5 * uWu >= tcc_tol * u_nrm2
-        # The solve is accepted at the *requested* inexactness (pd_rtol is
-        # the tolerance the SMART tests grant); only a much larger residual
-        # means the iterative solver actually broke down.
+        v_nrm = jnp.sqrt(v_nrm2)
+        Wu_x = Wv(u_x) + (sig.sigma_x + delta_x) * u_x
+        Wu_s = (S * sig.sigma_s * S + delta_x) * u_s
+        uWu = jnp.dot(u_x, Wu_x) + jnp.dot(u_s, Wu_s)
+        tcc1 = u_nrm2 <= opts.tcc_psi ** 2 * v_nrm2
+        tcc2a = 0.5 * uWu >= tcc_tol * u_nrm2
+        # TCC2b (decomposed only): grad_barr^T u + v^T W u + 0.5 u^T W u
+        # <= tcc_zeta * ||v||  (IpInexactPDTerminationTester.cpp:465-483)
+        gphi_u = jnp.dot(gphi_x, u_x) + jnp.dot(S * gphi_s, u_s)
+        vWu = jnp.dot(v_x, Wu_x) + jnp.dot(v_s, Wu_s)
+        tcc2b = gphi_u + vWu + 0.5 * uWu <= opts.tcc_zeta * v_nrm
+        tcc = jnp.where(cn,
+                        jnp.logical_or(tcc1, jnp.logical_and(tcc2a, tcc2b)),
+                        jnp.logical_or(tcc1, tcc2a))
+
+        # --- residual pieces ----------------------------------------------
+        resid = rhs - matvec(sol)
+        rho_norm = jnp.linalg.norm(resid[:n + mi])
+        Ad_c, Ad_d = A(dx, dst)
+        cAd_norm = jnp.sqrt(jnp.sum((c + Ad_c) ** 2)
+                            + jnp.sum((dms + Ad_d) ** 2))
+
+        # --- TT1: residual + model reduction -------------------------------
+        tt1_res = jnp.where(
+            cn,
+            rho_norm <= opts.tt_kappa1 * curr_tt1,
+            jnp.linalg.norm(resid) <= opts.tt_kappa1 * curr_tt1)
+        delta_m = (-(jnp.dot(gphi_x, dx) + jnp.dot(S * gphi_s, dst))
+                   + nu * (theta2 - cAd_norm))
+        mrc_rhs = jnp.where(
+            cn,
+            jnp.maximum(0.5 * uWu, tcc_tol * u_nrm2)
+            + sigma_mrc * nu * (theta2 - cAv_norm),
+            jnp.maximum(0.5 * uWu, tcc_tol * u_nrm2)
+            + sigma_mrc * nu * jnp.maximum(theta2, cAd_norm - theta2))
+        tt1 = jnp.logical_and(jnp.logical_and(tcc, tt1_res),
+                              delta_m >= mrc_rhs - 10 * eps_m)
+
+        # --- TT2: sufficient dual progress ---------------------------------
+        # ||grad phi + A~^T (y + dy)|| <= tt_kappa2 * curr_tt2
+        dtt_x, dtt_s = AT(dyc, dyd)
+        tt2_norm = jnp.sqrt(jnp.sum((tt2_x + dtt_x) ** 2)
+                            + jnp.sum((tt2_s + dtt_s) ** 2))
+        tt2 = jnp.logical_and(try_tt2,
+                              tt2_norm <= opts.tt_kappa2 * curr_tt2)
+
+        # --- TT3: linearized feasibility gain ------------------------------
+        tt3 = jnp.where(
+            cn,
+            jnp.logical_and(
+                jnp.logical_and(tcc, rho_norm <= opts.tt_kappa1 * curr_tt1),
+                theta2 - cAd_norm >= opts.tt_eps3 * (theta2 - cAv_norm)),
+            jnp.logical_and(
+                jnp.logical_and(tcc, rho_norm <= opts.tt_kappa1 * theta2),
+                cAd_norm <= opts.tt_kappa1 * theta2))
+
+        # A solve is usable when any SMART test passes; MINRES breakdown
+        # (residual far beyond the requested inexactness) always fails.
         relres_ok = relres <= jnp.maximum(1.01 * pd_rtol,
                                           opts.residual_ratio_singular)
-        ok = jnp.logical_and(jnp.logical_or(small, curved), relres_ok)
+        ok = jnp.logical_and(
+            jnp.logical_or(jnp.logical_or(tt1, tt2), tt3), relres_ok)
         return sol, ok, relres, uWu, jnp.sqrt(u_nrm2)
 
     zero = jnp.zeros((), dtype)
-    sol0, ok0, rr0, uWu0, un0 = attempt(zero)
+    # inexact_regularization_ls_count_trigger (IpInexactPDSolver.cpp:47-52,
+    # 150-160): a long line search in the PREVIOUS iteration pre-perturbs
+    # the Hessian before the first solve of this one.
+    if last_ls_count is not None:
+        start0 = jnp.where(delta_w_last == 0,
+                           opts.first_hessian_perturbation,
+                           jnp.maximum(opts.min_hessian_perturbation,
+                                       delta_w_last * opts.perturb_dec_fact))
+        delta0 = jnp.where(
+            last_ls_count > opts.inexact_regularization_ls_count_trigger,
+            start0, zero)
+    else:
+        delta0 = zero
+    sol0, ok0, rr0, uWu0, un0 = attempt(delta0)
 
-    def cond(carry):
+    def cond_loop(carry):
         trial, dxv, sol, ok, rr, uWu_, un_, gave_up = carry
         return jnp.logical_and(
             jnp.logical_not(jnp.logical_or(ok, gave_up)),
             trial < opts.max_inertia_correction_rounds)
 
-    def body(carry):
+    def body_loop(carry):
         trial, dxv, sol, ok, rr, uWu_, un_, gave_up = carry
         first_try = (dxv == 0)
         start_val = jnp.where(delta_w_last == 0,
@@ -266,11 +419,13 @@ def inexact_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
         return trial + 1, new_dx, sol, ok, rr, uWu_, un_, gave_up
 
     trials, delta_x, sol, ok, rr, uWu, u_norm, gave_up = lax.while_loop(
-        cond, body, (jnp.ones((), jnp.int32), zero, sol0, ok0, rr0, uWu0,
-                     un0, jnp.zeros((), bool)))
+        cond_loop, body_loop,
+        (jnp.ones((), jnp.int32), delta0, sol0, ok0, rr0, uWu0,
+         un0, jnp.zeros((), bool)))
 
     # Termination-test-3 fallback: pure normal step (d = v, dy = 0) when the
-    # perturbation loop could not satisfy the TCC.
+    # perturbation loop could not satisfy the tests (v = 0 when the step was
+    # undecomposed — the carry then activates the decomposition next round).
     use_normal_only = jnp.logical_not(ok)
     dx = jnp.where(use_normal_only, v_x, sol[:n])
     dst = jnp.where(use_normal_only, v_s, sol[n:n + mi])
@@ -284,13 +439,13 @@ def inexact_search_direction(nlp: CanonicalNLP, opts: Options, it: Iterate,
     step = Iterate(x=dx, s=ds, y_c=dyc, y_d=dyd,
                    z_L=dz_L, z_U=dz_U, v_L=dv_L, v_U=dv_U)
     # The step only truly fails if even the normal step is unusable (feasible
-    # point with MINRES breakdown) — keep a conservative flag.
-    failed = jnp.logical_and(use_normal_only, feasible_already)
+    # point with MINRES breakdown, or an undecomposed round with no v).
+    failed = jnp.logical_and(
+        use_normal_only,
+        jnp.logical_or(feasible_already, jnp.logical_not(cn)))
     step = jax.tree.map(lambda vv: jnp.where(failed, jnp.zeros_like(vv), vv),
                         step)
 
-    gphi_x = grad_barrier_x(nlp, it, ev.grad_f, mu, opts.kappa_d)
-    gphi_s = grad_barrier_s(nlp, it, mu, opts.kappa_d)
     cAd_c = c + Jc(dx)
     cAd_d = dms + Jd(dx) - ds
     aux = InexactAux(

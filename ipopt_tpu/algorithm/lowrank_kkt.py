@@ -232,8 +232,8 @@ def lowrank_factorize_kkt(nlp: CanonicalNLP, opts: Options, it: Iterate,
 def lowrank_matvec(fac: LowRankKKT, dx, ds, dy_c, dy_d):
     """Exact K v for the low-rank augmented system (used by refinement):
     K = K0 - Utilde M^{-1} Utilde^T, so only the x-row gains the correction."""
-    from ..linalg.ldlt import dense_solve
-    Minv_Ut_dx = dense_solve(fac.M, fac.U.T @ dx)
+    # pivoted LU: M is indefinite and unpivoted LDL^T can hit a 0 pivot
+    Minv_Ut_dx = jnp.linalg.solve(fac.M, fac.U.T @ dx)
     r_x = (fac.h * dx + fac.J_c.T @ dy_c + fac.J_d.T @ dy_d
            - fac.U @ Minv_Ut_dx)
     r_s = fac.dsd * ds - dy_d

@@ -301,7 +301,8 @@ def lowrank_struct_solve_refined(nlp: CanonicalNLP, opts: Options,
 
     def matvec(sol):
         kx, ks, kc, kd = matvec4(fac.base_K, sol)
-        corr = fac.U @ dense_solve(fac.M, fac.U.T @ sol[0])
+        # pivoted LU: M is indefinite; unpivoted LDL^T can hit a 0 pivot
+        corr = fac.U @ jnp.linalg.solve(fac.M, fac.U.T @ sol[0])
         return (kx - corr, ks, kc, kd)
 
     sol = solve_once(parts)

@@ -181,10 +181,20 @@ def lbfgs_compact(st: LBFGSState, opts=None) -> LowRankW:
     return LowRankW(sigma=sig, U=U, M=M)
 
 
-def lbfgs_dense_W(st: LBFGSState, opts=None) -> jnp.ndarray:
-    """Materialize the dense B = sigma I - U M^{-1} U^T (compact form)."""
+def lbfgs_dense_W(st: LBFGSState, opts=None, nl_mask=None) -> jnp.ndarray:
+    """Materialize the dense B = sigma I - U M^{-1} U^T (compact form).
+
+    ``nl_mask`` (hessian_approximation_space="nonlinear-variables" with
+    num_linear_variables > 0, IpOrigIpoptNLP.cpp:124-130): restricts the
+    approximation to the nonlinear block — sigma on the masked diagonal
+    only (the s/y pairs are already masked at the update site, so the
+    low-rank term has zero rows/columns for linear variables)."""
     n = st.S.shape[0]
     lr = lbfgs_compact(st, opts)
-    from ..linalg.ldlt import dense_solve
-    Minv_Ut = dense_solve(lr.M, lr.U.T)
-    return lr.sigma * jnp.eye(n, dtype=st.S.dtype) - lr.U @ Minv_Ut
+    # M is symmetric INDEFINITE ([[sigma S'S, L], [L', -D]]) and its leading
+    # block is exactly singular for collinear pairs (e.g. any 1-D problem):
+    # unpivoted LDL^T breaks down there, so use pivoted LU.
+    Minv_Ut = jnp.linalg.solve(lr.M, lr.U.T)
+    diag = (lr.sigma * jnp.eye(n, dtype=st.S.dtype) if nl_mask is None
+            else lr.sigma * jnp.diag(nl_mask.astype(st.S.dtype)))
+    return diag - lr.U @ Minv_Ut

@@ -40,6 +40,7 @@ from .mu import (MuState, mu_init_state, monotone_mu_update_components,
                  loqo_mu, probing_mu, quality_function_mu)
 from .quasi_newton import lbfgs_init
 from .cg_penalty import cg_init as _cg_init
+from .inexact import decomposition_initial_cn as _inx_cn0
 from .init import default_initialize, warm_start_initialize
 from .convergence import check_convergence
 
@@ -58,6 +59,12 @@ class Counters(NamedTuple):
 def counters_init() -> Counters:
     z = jnp.zeros((), jnp.int32)
     return Counters(z, z, z, z, z)
+
+
+def _add_opt(base, extra):
+    """base + extra, tracing NO op when extra is None (trace-neutrality of
+    optional counter terms — see tools/trace_fingerprint.py)."""
+    return base if extra is None else base + extra
 
 
 class EvCache(NamedTuple):
@@ -149,6 +156,9 @@ class IPMState(NamedTuple):
     n_filter_resets: Any = None
     last_rej_filter: Any = None
     accepted_point: Any = None    # previous accepted iterate
+    # Inexact adaptive step-decomposition bit (InexData::compute_normal,
+    # IpInexactSearchDirCalc.cpp:54-106); None = statically decomposed.
+    inx_cn: Any = None
 
 
 def robust_state_init(opts: Options, it: Iterate) -> dict:
@@ -354,6 +364,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     compl_fn = _compl_max_fn(nlp, it, s_c)
     # --- UpdateHessian (Exact | LimMemQuasiNewton, IpIpoptAlg.cpp:351) ----
     _exact_hessian = False  # static: did this iteration evaluate a real W?
+    _nlv_masked = (opts.num_linear_variables > 0
+                   and opts.hessian_approximation_space
+                   == "nonlinear-variables")
     if opts.hessian_approximation == "limited-memory":
         if nlp.chain is not None or (
                 opts.limited_memory_aug_solver == "sherman-morrison"
@@ -362,11 +375,24 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
             # solve applies Sherman-Morrison-Woodbury around the base system
             # (dense condensation, or the structured factorization for the
             # chained/arrow/banded backends — lowrank_struct.py).
+            if _nlv_masked:
+                raise NotImplementedError(
+                    "num_linear_variables with the nonlinear-variables "
+                    "approximation space needs the dense low-rank path — "
+                    "set limited_memory_aug_solver='extended'")
             from .quasi_newton import lbfgs_compact
             W = lbfgs_compact(st.lbfgs, opts)
         else:
             from .quasi_newton import lbfgs_dense_W
-            W = lbfgs_dense_W(st.lbfgs, opts)
+            if _nlv_masked:
+                _nm_full = np.arange(nlp.struct.n_full) >= \
+                    opts.num_linear_variables
+                _nl_mask = jnp.asarray(
+                    _nm_full[np.asarray(nlp.struct.free_idx)]
+                    if nlp.struct.n != nlp.struct.n_full else _nm_full)
+                W = lbfgs_dense_W(st.lbfgs, opts, nl_mask=_nl_mask)
+            else:
+                W = lbfgs_dense_W(st.lbfgs, opts)
     elif opts.linear_solver == "minres" or opts.inexact_algorithm:
         W = None  # matrix-free: Hessian only ever appears as HVPs
     else:
@@ -478,7 +504,9 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         if opts.inexact_algorithm:
             from .inexact import inexact_search_direction
             sr, new_tr_omega, inaux = inexact_search_direction(
-                nlp, opts, it, ev_lo, mu, st.delta_w_last, st.tr_omega)
+                nlp, opts, it, ev_lo, mu, st.delta_w_last, st.tr_omega,
+                nu=st.penalty_nu, compute_normal=st.inx_cn,
+                last_ls_count=st.last_ls_count)
         elif opts.linear_solver == "minres":
             from .matrix_free import mf_search_direction
             sr = mf_search_direction(nlp, opts, it, ev_lo, mu, st.delta_w_last)
@@ -633,16 +661,46 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         nfr_next = st.n_filter_resets + do_reset.astype(jnp.int32)
 
     # --- Line search ------------------------------------------------------
+    inx_cn_next = st.inx_cn
     if opts.inexact_algorithm:
-        from .inexact import inexact_line_search
+        from .inexact import inexact_line_search, decomposition_next_cn
         ls, _nu_new, nu_low_state = inexact_line_search(
             nlp, opts, it, ev_lo, sr, mu, tau, st.penalty_nu, st.nu_low, inaux)
         ls = ls._replace(filter=st.fs)  # penalty search keeps no filter
+        # adaptive decomposition activation from the accepted step size, and
+        # forced activation when an undecomposed round produced no usable
+        # step (IpInexactSearchDirCalc.cpp:196-200)
+        inx_cn_next = decomposition_next_cn(opts, st.inx_cn, ls.alpha_primal)
+        if inx_cn_next is not None:
+            inx_cn_next = jnp.where(sr.failed, True, inx_cn_next)
     elif opts.line_search_method == "cg-penalty":
         from .cg_penalty import cg_line_search
         ls, cg_state = cg_line_search(nlp, opts, it, ev_lo, sr, mu, tau,
                                       cg_state, cg_aux)
         ls = ls._replace(filter=st.fs)  # the CG method keeps no filter
+        # MultipliersDiverged (IpCGPenaltyLSAcceptor.cpp:678-708): at a
+        # still-infeasible point with exploding duals and a collapsing
+        # primal step, reject the trial so the restoration fallback runs.
+        curr_inf2 = jnp.sqrt(jnp.sum(ev_lo.c ** 2)
+                             + jnp.sum((ev_lo.d - it.s) ** 2))
+        trial_inf2 = jnp.sqrt(jnp.sum(ls.trial_c ** 2)
+                              + jnp.sum((ls.trial_d - ls.trial.s) ** 2))
+        y_amax = jnp.maximum(jnp.max(jnp.abs(it.y_c), initial=0.0),
+                             jnp.max(jnp.abs(it.y_d), initial=0.0))
+        n_bnd_mults = (jnp.sum(nlp.has_xL) + jnp.sum(nlp.has_xU)
+                       + jnp.sum(nlp.has_dL) + jnp.sum(nlp.has_dU) + nlp.mi)
+        alpha_pr = ls.alpha_primal
+        big_y = jnp.logical_and(
+            y_amax > opts.mult_diverg_y_tol,
+            jnp.logical_or(n_bnd_mults == 0, alpha_pr < 1e-2))
+        tiny_step_y = jnp.logical_and(alpha_pr < 1e-4, y_amax > 1e4)
+        diverged = jnp.logical_and(
+            jnp.logical_and(curr_inf2 > opts.mult_diverg_feasibility_tol,
+                            trial_inf2 > opts.mult_diverg_feasibility_tol),
+            jnp.logical_and(dual_inf > 1e4,
+                            jnp.logical_or(big_y, tiny_step_y)))
+        ls = ls._replace(accepted=jnp.logical_and(
+            ls.accepted, jnp.logical_not(diverged)))
     else:
         ls = line_search(nlp, opts, it, ev_lo, sr, mu, tau, fs_in,
                          st.theta_min, st.theta_max, penalty_nu=st.penalty_nu,
@@ -822,6 +880,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
     need_resto = jnp.logical_not(accepted)
     status = st.status
     extra_iters = jnp.zeros((), jnp.int32)
+    resto_obj_evals = None  # set only when the resto block traces the evals
     fs_after = ls.filter
     resto_count = st.restoration_count
 
@@ -895,7 +954,24 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
                                 theta_back > 0.9 * ls.theta_curr)),
             int(SolverReturn.RESTORATION_FAILURE), status)
         extra_iters = jnp.where(need_resto, rr.resto_iters, 0)
+        if opts.evaluate_orig_obj_at_resto_trial:
+            # RestoIpoptNLP::f with orig-obj evaluation at every resto trial
+            # point (IpRestoIpoptNLP.cpp:44-56): one extra original-objective
+            # evaluation per restoration iteration shows up in the counters.
+            resto_obj_evals = extra_iters
         resto_count = resto_count + jnp.where(need_resto, 1, 0)
+        if opts.line_search_method == "cg-penalty":
+            # Penalty re-initialization on restoration return
+            # (IpCGSearchDirCalc.cpp:208-217): nu = clamp(pen_init_fac *
+            # 0.1^restor_counter, 10, 1e6) for both penalty parameters.
+            pen_new = jnp.clip(
+                opts.pen_init_fac
+                * jnp.power(0.1, st.restoration_count.astype(it.x.dtype)),
+                1e1, 1e6)
+            cg_state = cg_state._replace(
+                penalty=jnp.where(need_resto, pen_new, cg_state.penalty),
+                kkt_penalty=jnp.where(need_resto, pen_new,
+                                      cg_state.kkt_penalty))
     else:
         status = jnp.where(jnp.logical_and(need_resto, sr.failed),
                            int(SolverReturn.ERROR_IN_STEP_COMPUTATION), status)
@@ -1079,6 +1155,21 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         gl_old = (ev.grad_f + ev.jc_t(new_it.y_c) + ev.jd_t(new_it.y_d))
         s_vec = new_it.x - it.x
         y_vec = (gl_new - gl_old).astype(_model)
+        if (opts.num_linear_variables > 0
+                and opts.hessian_approximation_space == "nonlinear-variables"):
+            # hessian_approximation_space (IpOrigIpoptNLP.cpp:124-130) +
+            # num_linear_variables (IpTNLPAdapter.cpp:2298-2315): the FIRST
+            # num_linear_variables variables are linear — the quasi-Newton
+            # approximation acts only on the nonlinear block (a truly linear
+            # variable has exactly zero Lagrangian-Hessian rows).
+            nl_mask_full = np.arange(nlp.struct.n_full) >= \
+                opts.num_linear_variables
+            nl_mask = jnp.asarray(
+                nl_mask_full[np.asarray(nlp.struct.free_idx)]
+                if nlp.struct.n != nlp.struct.n_full else nl_mask_full,
+                s_vec.dtype)
+            s_vec = s_vec * nl_mask
+            y_vec = y_vec * nl_mask
         upd = lbfgs_update(lbfgs, s_vec, y_vec, opts)
         lbfgs = jax.tree.map(lambda a, b: jnp.where(accepted, b, a), lbfgs, upd)
     res_new = kkt_residuals(nlp, new_it, ev_new, 0.0)
@@ -1151,6 +1242,7 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         cg=cg_state,
         tr_omega=new_tr_omega,
         nu_low=nu_low_state,
+        inx_cn=inx_cn_next,
         ev=_cache_from_evals(ev_new),
         eip_active=eip_next,
         filter_rej_count=frc_next,
@@ -1161,10 +1253,12 @@ def _ipm_step_impl(nlp: CanonicalNLP, opts: Options, st: IPMState,
         # evaluation at the new accepted point, plus the line-search trials
         # (incl. SOC rounds), plus the lazily-evaluated watchdog point.
         counters=Counters(
-            n_obj_evals=(st.counters.n_obj_evals + 1 + ls.n_evals
-                         + jnp.where(jnp.logical_and(
-                             jnp.asarray(not ls_has_first),
-                             jnp.logical_or(in_wd, ls_failed)), 1, 0)),
+            n_obj_evals=_add_opt(
+                st.counters.n_obj_evals + 1 + ls.n_evals
+                + jnp.where(jnp.logical_and(
+                    jnp.asarray(not ls_has_first),
+                    jnp.logical_or(in_wd, ls_failed)), 1, 0),
+                resto_obj_evals),
             n_grad_evals=(st.counters.n_grad_evals + 1
                           + jnp.where(ls_failed, 1, 0)),
             n_hess_evals=st.counters.n_hess_evals + jnp.asarray(
@@ -1228,6 +1322,7 @@ def initial_state(nlp: CanonicalNLP, opts: Options,
         cg=_cg_init(opts, dtype),
         tr_omega=jnp.asarray(opts.omega_init, dtype),
         nu_low=jnp.asarray(opts.nu_low_init, dtype),
+        inx_cn=(_inx_cn0(opts) if opts.inexact_algorithm else None),
         ev=_cache_from_evals(ev),
         counters=counters_init(),
         **robust_state_init(opts, it))

@@ -54,6 +54,10 @@ def evaluate(nlp: CanonicalNLP, x: jnp.ndarray) -> Evals:
     if getattr(nlp, "chain", None) is not None:
         # Structured path: never materialize dense Jacobians — transpose
         # products via VJP through the stage-structured constraint function.
+        if getattr(nlp.struct, "fd_jac_eps", 0.0):
+            raise NotImplementedError(
+                "jacobian_approximation='finite-difference-values' needs "
+                "the dense backend (structured backends are matrix-free)")
         f = nlp.eval_f(x)
         grad_f = nlp.eval_grad_f(x)
         c, c_vjp = jax.vjp(nlp.eval_c, x)

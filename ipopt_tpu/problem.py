@@ -87,12 +87,16 @@ class CanonicalStructure:
     # objective gradient with this perturbation (0 = exact AD gradient;
     # TNLPAdapter GradientApproximation, IpTNLPAdapter.hpp:258-266)
     fd_grad_eps: float = 0.0
+    # jacobian_approximation="finite-difference-values": forward-difference
+    # constraint Jacobian with this perturbation (0 = exact AD;
+    # TNLPAdapter JacobianApproxEnum, IpTNLPAdapter.cpp:256-257)
+    fd_jac_eps: float = 0.0
 
     def _key(self):
         return (self.n_full, self.n, self.m, self.me, self.mi,
                 self.eq_idx.tobytes(), self.ineq_idx.tobytes(),
                 self.free_idx.tobytes(), self.fixed_idx.tobytes(),
-                self.fixed_treatment, self.fd_grad_eps)
+                self.fixed_treatment, self.fd_grad_eps, self.fd_jac_eps)
 
     def __hash__(self):
         return hash(self._key())
@@ -210,14 +214,28 @@ class CanonicalNLP(NamedTuple):
             return jnp.zeros((0,), x.dtype)
         return self._g_split(self.x_full(x))[1]
 
+    def _fd_jac(self, fn, x):
+        """Forward-difference dense Jacobian (jacobian_approximation=
+        "finite-difference-values", IpTNLPAdapter.cpp:1390-1470): vmapped
+        columns (fn(x + eps e_j) - fn(x)) / eps."""
+        eps = self.struct.fd_jac_eps
+        f0 = fn(x)
+        seeds = jnp.eye(x.shape[0], dtype=x.dtype)
+        cols = jax.vmap(lambda e: (fn(x + eps * e) - f0) / eps)(seeds)
+        return cols.T
+
     def eval_jac_c(self, x):
         if self.struct.me == 0:
             return jnp.zeros((0, self.n), x.dtype)
+        if getattr(self.struct, "fd_jac_eps", 0.0):
+            return self._fd_jac(self.eval_c, x)
         return jax.jacfwd(self.eval_c)(x)
 
     def eval_jac_d(self, x):
         if self.struct.mi == 0:
             return jnp.zeros((0, self.n), x.dtype)
+        if getattr(self.struct, "fd_jac_eps", 0.0):
+            return self._fd_jac(self.eval_d, x)
         return jax.jacfwd(self.eval_d)(x)
 
     def eval_lag_hess(self, x, y_c, y_d, obj_factor=1.0):
@@ -351,6 +369,55 @@ def canonicalize(nlp: NLP, options: Optional[Options] = None,
     eq_mask = (g_L == g_U)
     eq_idx = np.nonzero(eq_mask)[0].astype(np.int32)
     ineq_idx = np.nonzero(~eq_mask)[0].astype(np.int32)
+
+    # --- constant-function shortcuts (grad_f_constant / jac_c_constant /
+    #     jac_d_constant / hessian_constant, IpOrigIpoptNLP.cpp &
+    #     IpTNLPAdapter registration): the user promises (partial)
+    #     linearity, so the exact Taylor surrogate at x0 replaces the
+    #     callable — AD of the surrogate is then trivially cheap and
+    #     evaluated-once semantics hold by construction. -------------------
+    if (opts.grad_f_constant or opts.hessian_constant
+            or opts.jac_c_constant or opts.jac_d_constant):
+        if nlp.params is not None:
+            raise ValueError(
+                "grad_f_constant / jac_*_constant / hessian_constant "
+                "require a parameter-free NLP (the surrogate is built at "
+                "x0 once)")
+        x0j = jnp.asarray(x0, dtype)
+        repl = {}
+        if nlp.f is not None and (opts.grad_f_constant or opts.hessian_constant):
+            _f = nlp.f
+            f0 = jnp.asarray(_f(x0j), dtype)
+            gf0 = jax.grad(_f)(x0j)
+            if opts.hessian_constant:
+                H0 = jax.hessian(_f)(x0j)
+                repl["f"] = (lambda x, f0=f0, gf0=gf0, H0=H0:
+                             f0 + gf0 @ (x - x0j)
+                             + 0.5 * (x - x0j) @ (H0 @ (x - x0j)))
+            else:
+                repl["f"] = (lambda x, f0=f0, gf0=gf0:
+                             f0 + gf0 @ (x - x0j))
+        if nlp.g is not None and (opts.hessian_constant
+                                  or opts.jac_c_constant
+                                  or opts.jac_d_constant):
+            if m * n_full > 100_000_000:
+                raise ValueError(
+                    "jac_*_constant / hessian_constant materialize the "
+                    f"dense m x n Jacobian ({m} x {n_full}) — too large")
+            _g = nlp.g
+            g0 = jnp.asarray(_g(x0j), dtype)
+            J0 = jax.jacfwd(_g)(x0j)
+            if opts.hessian_constant or (opts.jac_c_constant
+                                         and opts.jac_d_constant):
+                repl["g"] = (lambda x, g0=g0, J0=J0:
+                             g0 + J0 @ (x - x0j))
+            else:
+                cmask = jnp.asarray(eq_mask if opts.jac_c_constant
+                                    else ~eq_mask)
+                repl["g"] = (lambda x, g0=g0, J0=J0, cmask=cmask, _g=_g:
+                             jnp.where(cmask, g0 + J0 @ (x - x0j), _g(x)))
+        if repl:
+            nlp = dataclasses.replace(nlp, **repl)
     me, mi = len(eq_idx), len(ineq_idx)
 
     # Fixed variable treatment (IpTNLPAdapter.cpp:463-631).
@@ -378,7 +445,10 @@ def canonicalize(nlp: NLP, options: Optional[Options] = None,
         fixed_treatment=treatment,
         fd_grad_eps=(opts.findiff_perturbation
                      if opts.gradient_approximation
-                     == "finite-difference-values" else 0.0))
+                     == "finite-difference-values" else 0.0),
+        fd_jac_eps=(opts.findiff_perturbation
+                    if opts.jacobian_approximation
+                    == "finite-difference-values" else 0.0))
 
     x_fixed = np.where(fixed_mask, x_L, 0.0) if len(fixed_idx) else np.zeros(n_full)
 

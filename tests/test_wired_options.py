@@ -453,3 +453,160 @@ def test_resto_failure_feasibility_threshold_registered():
     r = solve(hs071(), Options(print_level=0,
                                resto_failure_feasibility_threshold=1e-6))
     assert int(r.status) == 0
+
+
+# ---------------------------------------------------------------------------
+# r5 wirings
+# ---------------------------------------------------------------------------
+
+def _hs071_opts(**kw):
+    kw.setdefault("tol", 1e-8)
+    return solve(hs071(), print_level=0, **kw)
+
+
+def test_inexact_step_decomposition_policies():
+    """inexact_step_decomposition (IpInexactSearchDirCalc.cpp:30-106):
+    always / adaptive / switch-once all converge on hs071; the adaptive
+    policies start undecomposed (carry bit), 'always' carries no bit."""
+    from ipopt_tpu.algorithm.inexact import decomposition_initial_cn
+    from ipopt_tpu.algorithm.inexact import decomposition_next_cn
+    assert decomposition_initial_cn(
+        Options(inexact_step_decomposition="always")) is None
+    cn0 = decomposition_initial_cn(
+        Options(inexact_step_decomposition="adaptive"))
+    assert cn0 is not None and not bool(cn0)
+    o = Options(inexact_step_decomposition="adaptive",
+                inexact_decomposition_activate_tol=1e-3,
+                inexact_decomposition_inactivate_tol=1e-3)
+    # small accepted alpha activates the decomposition...
+    assert bool(decomposition_next_cn(o, jnp.zeros((), bool),
+                                      jnp.asarray(1e-4)))
+    # ...and a full step de-activates it again (adaptive only)
+    assert not bool(decomposition_next_cn(o, jnp.ones((), bool),
+                                          jnp.asarray(1.0)))
+    o2 = o.replace(inexact_step_decomposition="switch-once")
+    assert bool(decomposition_next_cn(o2, jnp.ones((), bool),
+                                      jnp.asarray(1.0)))
+    for policy in ("always", "adaptive", "switch-once"):
+        r = _hs071_opts(inexact_algorithm=True, mu_strategy="monotone",
+                        inexact_step_decomposition=policy, tol=1e-6)
+        assert int(r.status) in (int(SolverReturn.SUCCESS),
+                                 int(SolverReturn.STOP_AT_ACCEPTABLE_POINT)), \
+            (policy, int(r.status))
+        np.testing.assert_allclose(float(r.obj), 17.0140171451792, rtol=1e-4)
+
+
+def test_inexact_scaling_and_slack_options():
+    """inexact_linear_system_scaling=none (IpInexactAlgBuilder.cpp:103) and
+    modify_hessian_with_slacks (IpInexactPDSolver.cpp:159-175) both change
+    the traced program and still converge."""
+    for kw in (dict(inexact_linear_system_scaling="none"),
+               dict(modify_hessian_with_slacks=True),
+               dict(slack_scale_max=0.5),
+               dict(inexact_normal_max_iter=7, inexact_normal_tol=1e-5),
+               dict(tcc_zeta=1e-3, tt_eps2=0.5, tt_eps3=0.5, tt_kappa2=1e-2)):
+        r = _hs071_opts(inexact_algorithm=True, mu_strategy="monotone",
+                        tol=1e-6, **kw)
+        assert int(r.status) in (int(SolverReturn.SUCCESS),
+                                 int(SolverReturn.STOP_AT_ACCEPTABLE_POINT)), \
+            (kw, int(r.status))
+        np.testing.assert_allclose(float(r.obj), 17.0140171451792, rtol=1e-4)
+
+
+def test_grad_f_constant_exact_surrogate():
+    """grad_f_constant: the linear-objective Taylor surrogate is exact and
+    the solve matches the un-hinted run (IpTNLPAdapter registration)."""
+    def make():
+        return NLP(f=lambda x: 2.0 * x[0] + 3.0 * x[1],
+                   g=lambda x: jnp.array([x[0] ** 2 + x[1] ** 2]),
+                   g_L=jnp.array([1.0]), g_U=jnp.array([1.0]),
+                   x0=jnp.array([0.5, 0.5]))
+    base = solve(make(), print_level=0, tol=1e-8)
+    hinted = solve(make(), print_level=0, tol=1e-8, grad_f_constant=True)
+    assert int(hinted.status) == int(SolverReturn.SUCCESS)
+    np.testing.assert_allclose(np.asarray(hinted.x), np.asarray(base.x),
+                               atol=1e-6)
+
+
+def test_jac_c_constant_linear_rows():
+    """jac_c_constant: linear equality rows are replaced by their exact
+    linearization; solution unchanged."""
+    def make():
+        return NLP(f=lambda x: (x[0] - 1.0) ** 4 + (x[1] + 2.0) ** 2,
+                   g=lambda x: jnp.array([x[0] + 2.0 * x[1]]),
+                   g_L=jnp.array([3.0]), g_U=jnp.array([3.0]),
+                   x0=jnp.array([0.0, 0.0]))
+    base = solve(make(), print_level=0, tol=1e-8)
+    hinted = solve(make(), print_level=0, tol=1e-8, jac_c_constant=True)
+    assert int(hinted.status) == int(SolverReturn.SUCCESS)
+    np.testing.assert_allclose(np.asarray(hinted.x), np.asarray(base.x),
+                               atol=1e-6)
+
+
+def test_hessian_constant_qp():
+    """hessian_constant: the QP Taylor surrogate at x0 is exact for a QP."""
+    def make():
+        return NLP(f=lambda x: x[0] ** 2 + 2.0 * x[1] ** 2 + x[0] * x[1]
+                   - 4.0 * x[0],
+                   g=lambda x: jnp.array([x[0] + x[1]]),
+                   g_L=jnp.array([1.0]), g_U=jnp.array([2e19]),
+                   x0=jnp.array([2.0, 2.0]))
+    base = solve(make(), print_level=0, tol=1e-8)
+    hinted = solve(make(), print_level=0, tol=1e-8, hessian_constant=True)
+    assert int(hinted.status) == int(SolverReturn.SUCCESS)
+    np.testing.assert_allclose(np.asarray(hinted.x), np.asarray(base.x),
+                               atol=1e-6)
+
+
+def test_jacobian_approximation_fd():
+    """jacobian_approximation=finite-difference-values (IpTNLPAdapter
+    .cpp:256-257, 1390-1470): FD constraint Jacobian still converges to the
+    hs071 optimum at a tolerance matching the FD error."""
+    r = solve(hs071(), print_level=0, tol=1e-6,
+              jacobian_approximation="finite-difference-values",
+              hessian_approximation="limited-memory",
+              limited_memory_aug_solver="extended")
+    assert int(r.status) in (int(SolverReturn.SUCCESS),
+                             int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+    np.testing.assert_allclose(float(r.obj), 17.0140171451792, rtol=1e-4)
+
+
+def test_num_linear_variables_masked_qn():
+    """num_linear_variables + hessian_approximation_space
+    (IpTNLPAdapter.cpp:2298-2315): the first k variables are linear — the
+    dense L-BFGS matrix gets zero rows/columns there."""
+    from ipopt_tpu.algorithm.quasi_newton import (lbfgs_init, lbfgs_update,
+                                                  lbfgs_dense_W)
+    o = Options(hessian_approximation="limited-memory")
+    st = lbfgs_init(3, 4, jnp.float64)
+    mask = jnp.asarray([0.0, 1.0, 1.0])
+    s = jnp.asarray([1.0, 2.0, 3.0]) * mask
+    y = jnp.asarray([0.5, 1.0, 2.0]) * mask
+    st = lbfgs_update(st, s, y, o)
+    W = lbfgs_dense_W(st, o, nl_mask=mask)
+    np.testing.assert_allclose(np.asarray(W[0, :]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(W[:, 0]), 0.0, atol=1e-12)
+    # e2e: objective linear in x0, quartic in x1
+    def make():
+        return NLP(f=lambda x: x[0] + (x[1] - 1.0) ** 4,
+                   x_L=jnp.array([0.0, -5.0]), x_U=jnp.array([5.0, 5.0]),
+                   x0=jnp.array([2.0, 2.0]))
+    r = solve(make(), print_level=0, tol=1e-6,
+              hessian_approximation="limited-memory",
+              limited_memory_aug_solver="extended",
+              num_linear_variables=1)
+    assert int(r.status) in (int(SolverReturn.SUCCESS),
+                             int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+    np.testing.assert_allclose(np.asarray(r.x), [0.0, 1.0], atol=1e-2)
+
+
+def test_cg_penalty_diverg_options_accepted():
+    """mult_diverg_feasibility_tol / mult_diverg_y_tol / pen_init_fac
+    (IpCGPenaltyLSAcceptor.cpp:678-708, IpCGSearchDirCalc.cpp:208-217) are
+    live in the cg-penalty path and a normal solve is unaffected."""
+    r = _hs071_opts(line_search_method="cg-penalty", tol=1e-6,
+                    mult_diverg_feasibility_tol=1e-7,
+                    mult_diverg_y_tol=1e8, pen_init_fac=50.0)
+    assert int(r.status) in (int(SolverReturn.SUCCESS),
+                             int(SolverReturn.STOP_AT_ACCEPTABLE_POINT))
+    np.testing.assert_allclose(float(r.obj), 17.0140171451792, rtol=1e-4)
