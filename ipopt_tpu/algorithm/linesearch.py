@@ -136,9 +136,14 @@ def magic_step(nlp: CanonicalNLP, s, d_t):
 
 
 def _eval_theta_phi(nlp: CanonicalNLP, opts: Options, it_trial: Iterate, mu):
-    f_t = nlp.eval_f(it_trial.x)
-    c_t = nlp.eval_c(it_trial.x)
-    d_t = nlp.eval_d(it_trial.x)
+    # Pin results to the iterate dtype: with x64 enabled (mixed-precision
+    # critical path) a model whose closures embed float64 numpy constants
+    # would silently promote the f32 trial evaluation and break while-loop
+    # carry dtypes.
+    dt = it_trial.x.dtype
+    f_t = nlp.eval_f(it_trial.x).astype(dt)
+    c_t = nlp.eval_c(it_trial.x).astype(dt)
+    d_t = nlp.eval_d(it_trial.x).astype(dt)
     theta_t = _theta(nlp, c_t, d_t, it_trial.s,
                      opts.constraint_violation_norm_type)
     phi_t = barrier_obj(nlp, it_trial, f_t, mu, opts.kappa_d)

@@ -279,6 +279,85 @@ def _gj_inv_lanes(D):
     return X, piv
 
 
+def _mm_bn(A, B):
+    """(p, q, n) @ (q, r, n) -> (p, r, n): batched matmul with the batch on
+    the minor (lane) axis."""
+    return lax.dot_general(A, B, (((1,), (0,)), ((2,), (2,))),
+                           preferred_element_type=A.dtype
+                           ).transpose(1, 2, 0)
+
+
+def _gj_inv_lanes_blocked(D, panel: int = 32):
+    """Blocked (panelized) Gauss-Jordan inverse + pivots: same contract as
+    ``_gj_inv_lanes`` but with b/panel MXU panel steps instead of b scalar
+    rank-1 steps.
+
+    One panel exchange step (the rank-t analog of the scalar step):
+        P    <- X[p:p+t, p:p+t];  Pinv, d = scalar GJ of the t x t panel
+        X_oo <- X_oo - C_o Pinv R_o
+        X_oP <- + C_o Pinv          (column block, sign as in the scalar step)
+        X_Po <- - Pinv R_o          (row block)
+        X_PP <- Pinv
+    where o = the not-yet/already-eliminated indices outside the panel.
+    The panel's scalar-GJ pivots are the global unpivoted-LDL^T pivots of
+    those rows (ratios of leading principal minors), so the inertia
+    information is identical to the scalar sweep.  At b = 408 this turns
+    408 latency-bound vector steps into 13 panel steps of (b, t)x(t, b)
+    MXU matmuls per chain block."""
+    b, _, n = D.shape
+    dtype = D.dtype
+    X = D
+    piv = jnp.zeros((b, n), dtype)
+    rows = lax.broadcasted_iota(jnp.int32, (b, b, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (b, b, 1), 1)
+    for p0 in range(0, b, panel):
+        t = min(panel, b - p0)
+        P = lax.slice(X, (p0, p0, 0), (p0 + t, p0 + t, n))
+        Pinv, d_t = _gj_inv_lanes(P)
+        Crows = lax.slice(X, (0, p0, 0), (b, p0 + t, n))      # (b, t, n)
+        Rcols = lax.slice(X, (p0, 0, 0), (p0 + t, b, n))      # (t, b, n)
+        CPinv = _mm_bn(Crows, Pinv)                           # (b, t, n)
+        PinvR = _mm_bn(Pinv, Rcols)                           # (t, b, n)
+        upd = _mm_bn(CPinv, Rcols)                            # (b, b, n)
+        in_r = jnp.logical_and(rows >= p0, rows < p0 + t)
+        in_c = jnp.logical_and(cols >= p0, cols < p0 + t)
+        other = jnp.logical_and(~in_r, ~in_c)
+        Xn = jnp.where(other, X - upd, X)
+        # column block (rows outside, cols in panel): + C_o Pinv
+        col_blk = jnp.zeros_like(X)
+        col_blk = lax.dynamic_update_slice(col_blk, CPinv, (0, p0, 0))
+        Xn = jnp.where(jnp.logical_and(~in_r, in_c), col_blk, Xn)
+        # row block (rows in panel, cols outside): - Pinv R_o
+        row_blk = jnp.zeros_like(X)
+        row_blk = lax.dynamic_update_slice(row_blk, -PinvR, (p0, 0, 0))
+        Xn = jnp.where(jnp.logical_and(in_r, ~in_c), row_blk, Xn)
+        # panel block: Pinv
+        pp_blk = jnp.zeros_like(X)
+        pp_blk = lax.dynamic_update_slice(pp_blk, Pinv, (p0, p0, 0))
+        Xn = jnp.where(jnp.logical_and(in_r, in_c), pp_blk, Xn)
+        X = Xn
+        piv = lax.dynamic_update_slice(piv, d_t, (p0, 0))
+    return X, piv
+
+
+# Scalar GJ below this block size (one panel anyway); blocked above.
+_GJ_PANEL_THRESHOLD = 32
+
+# Stop the cyclic reduction once the compacted chain fits in this many
+# scalar unknowns and finish with ONE dense blocked-GJ root: the deep BCR
+# tail levels are tiny latency-bound dispatches (a 12500-block b=16 chain
+# has 14 levels; the last ~7 touch < 1 MB each), while a 1024-wide dense
+# panel inverse is a handful of MXU matmuls.
+_ROOT_DENSE_N = 1024
+
+
+def _gj_inv_auto(D):
+    b = D.shape[0]
+    if b <= _GJ_PANEL_THRESHOLD:
+        return _gj_inv_lanes(D)
+    return _gj_inv_lanes_blocked(D)
+
+
 class BCRFactor(NamedTuple):
     levels: Tuple       # tuple of BCRLevel (static length)
     Ainv_root: jnp.ndarray
@@ -398,7 +477,8 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
     num_zero = jnp.zeros((), jnp.int32)
     n_pad_blocks = 0
 
-    while na > 1:
+    root_nb = max(1, _ROOT_DENSE_N // b)
+    while na > root_nb:
         if na % 2 == 1:
             # pad with an identity block (eliminated at this level, harmless;
             # its +b positive pivots are subtracted from the inertia below)
@@ -413,7 +493,7 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
         Ci = C[:, :, 1::2]           # K(keep_{t+1}, elim_t); last may be pad
         ne = diag_e.shape[2]
 
-        Ainv, ds = _gj_inv_lanes(diag_e)
+        Ainv, ds = _gj_inv_auto(diag_e)
         p, n_, z = _block_inertia_counts(ds, pivot_tol, block_axis=0)
         num_pos += p
         num_neg += n_
@@ -441,7 +521,24 @@ def bcr_factorize(K: BTDMatrix, pivot_tol: float = 0.0,
         C = C_new[:, :, :nk]
         na = nk
 
-    Ainv_root, d_root = _gj_inv_lanes(diag)   # ne = 1
+    if na > 1:
+        # Dense root: assemble the remaining (na, b) BTD chain as one
+        # (na*b)^2 block and invert it with the panelized GJ — the pivots
+        # are the root's unpivoted-LDL^T pivots, so Sylvester additivity
+        # of the inertia counts is unchanged.
+        N = na * b
+        Kd = jnp.zeros((N, N, 1), dtype)
+        for j in range(na):
+            Kd = lax.dynamic_update_slice(
+                Kd, diag[:, :, j:j + 1], (j * b, j * b, 0))
+            if j + 1 < na:
+                cj = C[:, :, j:j + 1]
+                Kd = lax.dynamic_update_slice(Kd, cj, ((j + 1) * b, j * b, 0))
+                Kd = lax.dynamic_update_slice(
+                    Kd, jnp.transpose(cj, (1, 0, 2)), (j * b, (j + 1) * b, 0))
+        Ainv_root, d_root = _gj_inv_auto(Kd)
+    else:
+        Ainv_root, d_root = _gj_inv_auto(diag)   # ne = 1
     p, n_, z = _block_inertia_counts(d_root, pivot_tol, block_axis=0)
     num_pos += p
     num_neg += n_
@@ -484,8 +581,14 @@ def bcr_solve(fac: BCRFactor, rhs: jnp.ndarray) -> jnp.ndarray:
         stack.append((R_e, prepad))
         R = R_k
 
-    # Root solve.
-    X = _mv_ll(fac.Ainv_root, R)                # (b, 1)
+    # Root solve (dense multi-block root when the reduction stopped early).
+    na_root = R.shape[1]
+    if na_root > 1:
+        v = R.T.reshape(-1, 1)                  # (na*b, 1) chain-major
+        Xr = _mv_ll(fac.Ainv_root, v)           # (na*b, 1)
+        X = Xr.reshape(na_root, b).T            # (b, na_root)
+    else:
+        X = _mv_ll(fac.Ainv_root, R)            # (b, 1)
 
     # Backward: reconstruct eliminated entries, interleave, unpad.
     for lvl, (R_e, prepad) in zip(reversed(fac.levels), reversed(stack)):
