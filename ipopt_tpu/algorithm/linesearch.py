@@ -287,6 +287,9 @@ def line_search(nlp: CanonicalNLP, opts: Options, it: Iterate, ev: Evals,
              c_soc, dms_soc, theta_old, active, n_rounds, alpha_soc) = carry
             dsoc = soc_direction(nlp, opts, it, ev, sr.fac, sr.K, mu,
                                  c_soc, dms_soc, alpha_soc=alpha_soc)
+            # pin to the iterate dtype (a float64 factorization_dtype
+            # backsolve must not leak f64 into the f32 SOC carry)
+            dsoc = jax.tree.map(lambda v: v.astype(it.x.dtype), dsoc)
             a_soc, a_soc_dual = fraction_to_boundary(nlp, it, dsoc, tau)
             it_soc = _trial_point(it, dsoc, a_soc, alpha_dual)
             f_s, c_s, d_s, th_s, ph_s = _eval_theta_phi(nlp, opts, it_soc, mu)

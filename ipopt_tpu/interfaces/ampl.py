@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import struct
 import sys
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -576,10 +576,14 @@ def ascii_nl_to_binary(src: str, dst: str):
         fh.write(bytes(out))
 
 
-def write_sol(path: str, res, message: str = "", n_var: Optional[int] = None):
+def write_sol(path: str, res, message: str = "", n_var: Optional[int] = None,
+              extra_var_suffixes: Optional[Dict[str, Any]] = None):
     """Write AMPL's .sol format (what the reference's ampl_ipopt.cpp emits
     through ASL's write_sol), including the ipopt_zL_out/ipopt_zU_out bound
-    multiplier suffixes (AmplTNLP::finalize_solution)."""
+    multiplier suffixes (AmplTNLP::finalize_solution).
+
+    ``extra_var_suffixes``: additional real variable suffixes (name ->
+    (n_var,) array) — the sIPOPT sens_sol_state_1* outputs."""
     y = np.asarray(res.g_duals if hasattr(res, "g_duals") else res.y, float)
     x = np.asarray(res.x, float)
     z_L = np.asarray(res.z_L, float) if hasattr(res, "z_L") else None
@@ -594,7 +598,10 @@ def write_sol(path: str, res, message: str = "", n_var: Optional[int] = None):
             fh.write(f"{v:.17g}\n")
         fh.write(f"objno 0 {0 if int(res.status) == 0 else 200}\n")
         # suffix sections: kind 4|0 = real var suffix
-        for name, z in (("ipopt_zL_out", z_L), ("ipopt_zU_out", z_U)):
+        sections = [("ipopt_zL_out", z_L), ("ipopt_zU_out", z_U)]
+        for name, vals in (extra_var_suffixes or {}).items():
+            sections.append((name, np.asarray(vals, float)))
+        for name, z in sections:
             if z is None:
                 continue
             nz = [(i, v) for i, v in enumerate(z) if v != 0.0]
@@ -642,6 +649,87 @@ def read_sol(path: str):
     return x, y, status, suffixes
 
 
+def run_sens_from_suffixes(model: "AmplModel", opts: Options, res):
+    """The sIPOPT AMPL protocol (contrib/sIPOPT/src/SensAmplTNLP /
+    SensBuilder.cpp:88-140; examples/parametric_ampl):
+
+    - parameters are VARIABLES pinned by equality rows marked with the
+      ``sens_init_constr`` constraint suffix;
+    - the variable suffixes ``sens_state_1`` (perturbation index) and
+      ``sens_state_value_1`` (new value) define the perturbation;
+    - the estimated perturbed solution is returned as the
+      ``sens_sol_state_1`` (+ ``_z_L``/``_z_U``) variable suffixes.
+
+    Returns the extra-suffix dict for write_sol, or None if the required
+    suffixes are absent."""
+    from ..problem import canonicalize
+    from ..sens import perturbed_solution_rhs
+    init_marks = model.suffixes.get(("con", "sens_init_constr"))
+    st1 = model.suffixes.get(("var", "sens_state_1"))
+    sv1 = model.suffixes.get(("var", "sens_state_value_1"))
+    if not (init_marks and st1 and sv1):
+        return None
+    nlp = model.nlp
+    cnlp = canonicalize(nlp, opts)
+    s = cnlp.struct
+    eq_pos_of_row = {int(r): p for p, r in enumerate(np.asarray(s.eq_idx))}
+    x_sol = jnp.asarray(np.asarray(res.x), cnlp.x0.dtype)
+
+    new_crhs = np.asarray(cnlp.c_rhs, float).copy()
+    for row, mark in init_marks.items():
+        if not mark or int(row) not in eq_pos_of_row:
+            continue
+        pos = eq_pos_of_row[int(row)]
+        # the pinned variable = the dominant entry of the row gradient
+        grad_row = jax.grad(
+            lambda xx, r=int(row): (nlp.g(xx, nlp.params)
+                                    if nlp.params is not None
+                                    else nlp.g(xx))[r])(x_sol)
+        var = int(jnp.argmax(jnp.abs(grad_row)))
+        if var in sv1:
+            # row reads  coeff * x_var - rhs = 0; move rhs so that the
+            # pinned variable lands on sens_state_value_1
+            coeff = float(grad_row[var])
+            old_rhs = float(new_crhs[pos])
+            old_val = float(np.asarray(res.x)[var])
+            new_crhs[pos] = old_rhs + coeff * (float(sv1[var]) - old_val)
+
+    # the reference solves on the SAVED factorization of the last barrier
+    # problem (mu = final mu) — mu=0 can leave free-variable diagonals
+    # exactly singular for the unpivoted factorization
+    it_pert = perturbed_solution_rhs(
+        cnlp, opts, res.iterate, jnp.asarray(new_crhs, cnlp.c_rhs.dtype),
+        mu=float(res.mu),
+        n_steps=opts.n_sens_steps, boundcheck=opts.sens_boundcheck,
+        bound_eps=opts.sens_bound_eps)
+    x_pert = np.asarray(cnlp.x_full(it_pert.x), float)
+    zl = np.zeros(s.n_full)
+    zu = np.zeros(s.n_full)
+    zl[np.asarray(s.free_idx)] = np.asarray(it_pert.z_L, float)
+    zu[np.asarray(s.free_idx)] = np.asarray(it_pert.z_U, float)
+    return {"sens_sol_state_1": x_pert,
+            "sens_sol_state_1_z_L": zl,
+            "sens_sol_state_1_z_U": zu}
+
+
+def compute_red_hessian_from_suffixes(model: "AmplModel", opts: Options,
+                                      res):
+    """compute_red_hessian (SensApplication.cpp:73, SensBuilder.cpp:137):
+    the reduced Hessian over the variables carrying the ``red_hessian``
+    suffix, ordered by the suffix value."""
+    marks = model.suffixes.get(("var", "red_hessian"))
+    if not marks:
+        return None
+    from ..problem import canonicalize
+    from ..sens import reduced_hessian
+    cnlp = canonicalize(model.nlp, opts)
+    order = sorted((int(v), int(i)) for i, v in marks.items() if v)
+    idx = [i for _, i in order]
+    return np.asarray(reduced_hessian(cnlp, opts, res.iterate,
+                                      np.asarray(idx, np.int32),
+                                      mu=float(res.mu)))
+
+
 def main(argv=None):
     from ..algorithm.solver import solve
     from ..types import SolverReturn
@@ -657,6 +745,11 @@ def main(argv=None):
             continue
         if "=" in a:
             k, v = a.split("=", 1)
+            fld = Options.__dataclass_fields__.get(k)
+            if fld is not None and fld.type in ("bool", bool):
+                # Ipopt CLI convention: yes/no (also accept 0/1/true/false)
+                overrides[k] = v.strip().lower() in ("yes", "true", "1")
+                continue
             try:
                 overrides[k] = float(v) if "." in v or "e" in v else int(v)
             except ValueError:
@@ -679,7 +772,20 @@ def main(argv=None):
                          SolverReturn.STOP_AT_ACCEPTABLE_POINT)
            else f"ipopt_tpu: {status.name}")
     sol_path = nl_path[:-3] + ".sol" if nl_path.endswith(".nl") else nl_path + ".sol"
-    write_sol(sol_path, res, msg)
+    extra = None
+    opts_used = Options().replace(
+        **{k: v for k, v in overrides.items()
+           if k in Options.__dataclass_fields__})
+    if opts_used.run_sens and status in (
+            SolverReturn.SUCCESS, SolverReturn.STOP_AT_ACCEPTABLE_POINT):
+        extra = run_sens_from_suffixes(model, opts_used, res)
+    if opts_used.compute_red_hessian:
+        rh = compute_red_hessian_from_suffixes(model, opts_used, res)
+        if rh is not None:
+            print("Reduced Hessian (red_hessian suffix order):")
+            for row in rh:
+                print("  " + " ".join(f"{v: .9e}" for v in row))
+    write_sol(sol_path, res, msg, extra_var_suffixes=extra)
     print(msg)
     if status in (SolverReturn.SUCCESS, SolverReturn.STOP_AT_ACCEPTABLE_POINT):
         print("EXIT: Optimal Solution Found.")

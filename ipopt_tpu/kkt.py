@@ -58,17 +58,27 @@ def evaluate(nlp: CanonicalNLP, x: jnp.ndarray) -> Evals:
             raise NotImplementedError(
                 "jacobian_approximation='finite-difference-values' needs "
                 "the dense backend (structured backends are matrix-free)")
-        f = nlp.eval_f(x)
-        grad_f = nlp.eval_grad_f(x)
+        # All results pinned to the evaluation-point dtype: with x64 enabled
+        # (mixed-precision modes) a model whose closures embed float64 numpy
+        # constants would silently promote f32 evaluations and break
+        # while-loop carry dtypes downstream.
+        cdt = x.dtype
+        f = nlp.eval_f(x).astype(cdt)
+        grad_f = nlp.eval_grad_f(x).astype(cdt)
         c, c_vjp = jax.vjp(nlp.eval_c, x)
         d, d_vjp = jax.vjp(nlp.eval_d, x)
-        # dtype-tolerant cotangents (mixed-precision modes may hand f32
-        # multipliers to an f64 evaluation point)
-        cdt = x.dtype
-        return Evals(f=f, grad_f=grad_f, c=c, d=d, J_c=None, J_d=None,
-                     jc_t=lambda y: c_vjp(y.astype(cdt))[0],
-                     jd_t=lambda y: d_vjp(y.astype(cdt))[0])
+        return Evals(f=f.astype(cdt), grad_f=grad_f, c=c.astype(cdt),
+                     d=d.astype(cdt), J_c=None, J_d=None,
+                     jc_t=lambda y: c_vjp(y.astype(c.dtype))[0].astype(cdt),
+                     jd_t=lambda y: d_vjp(y.astype(d.dtype))[0].astype(cdt))
     f, grad_f, c, d, J_c, J_d = nlp.eval_all(x)
+    cdt = x.dtype
+    f, grad_f, c, d = (f.astype(cdt), grad_f.astype(cdt), c.astype(cdt),
+                       d.astype(cdt))
+    if J_c is not None:
+        J_c = J_c.astype(cdt)
+    if J_d is not None:
+        J_d = J_d.astype(cdt)
     return Evals(f=f, grad_f=grad_f, c=c, d=d, J_c=J_c, J_d=J_d,
                  jc_t=lambda y: J_c.T @ y, jd_t=lambda y: J_d.T @ y)
 

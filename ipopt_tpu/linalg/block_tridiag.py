@@ -344,11 +344,14 @@ def _gj_inv_lanes_blocked(D, panel: int = 32):
 _GJ_PANEL_THRESHOLD = 32
 
 # Stop the cyclic reduction once the compacted chain fits in this many
-# scalar unknowns and finish with ONE dense blocked-GJ root: the deep BCR
-# tail levels are tiny latency-bound dispatches (a 12500-block b=16 chain
-# has 14 levels; the last ~7 touch < 1 MB each), while a 1024-wide dense
-# panel inverse is a handful of MXU matmuls.
-_ROOT_DENSE_N = 1024
+# scalar unknowns and finish with ONE dense blocked-GJ root.  MEASURED OFF
+# (0 = classic single-block root): on the v5e the panelized dense root was
+# NET SLOWER than the tail levels it replaced (1e5: 135 -> 143 ms/iter,
+# 1e6: 1286 -> 1677 — 32 sequential panels of MXU-underutilized (N, 32)
+# matmuls vs ~7 geometric levels), and the explicit f32 inverse of a
+# ~1000-wide unequilibrated KKT root lost the chained solve entirely
+# (status 10).  The machinery + exactness tests stay for future use.
+_ROOT_DENSE_N = 0
 
 
 def _gj_inv_auto(D):

@@ -507,6 +507,19 @@ class Options:
     mult_diverg_y_tol: float = _opt(1e8, "CG Penalty", "Multiplier-divergence threshold.", 0.0, lower_strict=True)
     pen_init_fac: float = _opt(50.0, "CG Penalty", "Initial penalty factor for the regularized Newton method.",
                                0.0, lower_strict=True)
+    # sIPOPT (contrib/sIPOPT/src/SensApplication.cpp:58-100)
+    run_sens: bool = _opt(False, "sIPOPT", "Run the sIPOPT sensitivity "
+                          "algorithm after the solve (AMPL sens_* suffixes).")
+    n_sens_steps: int = _opt(1, "sIPOPT", "Number of sensitivity steps.", 0)
+    sens_boundcheck: bool = _opt(False, "sIPOPT", "Re-solve the Schur "
+                                 "decomposition when the predicted point "
+                                 "violates bounds.")
+    sens_bound_eps: float = _opt(1e-3, "sIPOPT", "Bound accuracy within "
+                                 "which a bound is still considered valid.",
+                                 0.0, lower_strict=True)
+    compute_red_hessian: bool = _opt(False, "sIPOPT", "Compute the reduced "
+                                     "Hessian on the red_hessian-suffixed "
+                                     "variables.")
     # Derivative checker extras (IpTNLPAdapter.cpp:179-211)
     derivative_test_first_index: int = _opt(-2, "Derivative Checker", "First variable index to check (-2 = all).", -2)
     derivative_test_print_all: bool = _opt(False, "Derivative Checker", "Print all comparisons, not just failures.")

@@ -194,6 +194,114 @@ def sensitivity_step_boundcheck(nlp: CanonicalNLP, opts: Options, it: Iterate,
         n_fixed=n_fixed, fixed_idx=fixed_idx, max_violation=resid)
 
 
+def sensitivity_step_rhs(nlp: CanonicalNLP, opts: Options, it: Iterate,
+                         d_crhs, mu=0.0) -> SensitivityResult:
+    """Sensitivity w.r.t. the equality right-hand side (the AMPL sIPOPT
+    protocol: parameters are variables pinned by ``sens_init_constr``
+    equality rows whose rhs moves to ``sens_state_value_1`` —
+    SensAmplTNLP / SensBuilder.cpp:88-140).  ``d_crhs`` is (me,) in eq-row
+    order, user units."""
+    mu = jnp.asarray(mu, it.x.dtype)
+
+    def F(c_rhs):
+        return _residual_parts(nlp._replace(c_rhs=c_rhs), opts, it, mu)
+
+    _, dparts = jax.jvp(F, (nlp.c_rhs,), (jnp.asarray(d_crhs,
+                                                      nlp.c_rhs.dtype),))
+    fr = _factorize_at(nlp, opts, it, mu)
+    xsplit, _ = solve_any(nlp, opts, fr.fac, fr.K, dparts)
+    dx, ds, dy_c, dy_d = xsplit
+    sl_xL, sl_xU, sl_sL, sl_sU = kkt.slacks(nlp, it)
+    dz_L = jnp.where(nlp.has_xL, -it.z_L / sl_xL * dx, 0.0)
+    dz_U = jnp.where(nlp.has_xU, it.z_U / sl_xU * dx, 0.0)
+    dv_L = jnp.where(nlp.has_dL, -it.v_L / sl_sL * ds, 0.0)
+    dv_U = jnp.where(nlp.has_dU, it.v_U / sl_sU * ds, 0.0)
+    return SensitivityResult(dx=dx, ds=ds, dy_c=dy_c, dy_d=dy_d,
+                             dz_L=dz_L, dz_U=dz_U, dv_L=dv_L, dv_U=dv_U)
+
+
+def perturbed_solution_rhs(nlp: CanonicalNLP, opts: Options, it: Iterate,
+                           new_crhs, mu=0.0, n_steps: int = 1,
+                           boundcheck: bool = False,
+                           bound_eps: float = 1e-3) -> Iterate:
+    """First-order corrected primal-dual point for a new equality rhs
+    (the sens_sol_state_1 estimate).  ``n_steps`` > 1 follows a linear
+    rhs schedule with one backsolve per step (n_sens_steps,
+    SensAlgorithm.cpp:173); ``boundcheck`` pins bound-violating
+    coordinates by the bordered-KKT correction (sens_boundcheck)."""
+    new_crhs = jnp.asarray(new_crhs, nlp.c_rhs.dtype)
+    cur = it
+    cur_nlp = nlp
+    for k in range(max(n_steps, 1)):
+        frac = (k + 1) / max(n_steps, 1)
+        target = nlp.c_rhs + frac * (new_crhs - nlp.c_rhs)
+        d = target - cur_nlp.c_rhs
+        if boundcheck:
+            # reuse the param-space boundcheck machinery via an rhs wrapper
+            sr = _rhs_boundcheck(cur_nlp, opts, cur, d, mu, bound_eps)
+        else:
+            sr = sensitivity_step_rhs(cur_nlp, opts, cur, d, mu)
+        cur = Iterate(
+            x=cur.x + sr.dx, s=cur.s + sr.ds,
+            y_c=cur.y_c + sr.dy_c, y_d=cur.y_d + sr.dy_d,
+            z_L=cur.z_L + sr.dz_L, z_U=cur.z_U + sr.dz_U,
+            v_L=cur.v_L + sr.dv_L, v_U=cur.v_U + sr.dv_U)
+        cur_nlp = cur_nlp._replace(c_rhs=target)
+    return cur
+
+
+def _rhs_boundcheck(nlp: CanonicalNLP, opts: Options, it: Iterate, d_crhs,
+                    mu, bound_eps) -> SensitivityResult:
+    """sensitivity_step_boundcheck with the rhs tangent instead of params."""
+    mu = jnp.asarray(mu, it.x.dtype)
+    dtype = it.x.dtype
+    n, mi, me = nlp.n, nlp.mi, nlp.me
+
+    def F(c_rhs):
+        return _residual_parts(nlp._replace(c_rhs=c_rhs), opts, it, mu)
+
+    _, dparts = jax.jvp(F, (nlp.c_rhs,),
+                        (jnp.asarray(d_crhs, nlp.c_rhs.dtype),))
+    fr = _factorize_at(nlp, opts, it, mu)
+    xsplit, _ = solve_any(nlp, opts, fr.fac, fr.K, dparts)
+    dw = jnp.concatenate(xsplit)
+    cap = min(16, n)
+
+    def kinv_ex(i):
+        e_x = jnp.zeros((n,), dtype).at[i].set(1.0)
+        parts = (e_x, jnp.zeros((mi,), dtype), jnp.zeros((me,), dtype),
+                 jnp.zeros((mi,), dtype))
+        sp, _ = solve_any(nlp, opts, fr.fac, fr.K, parts)
+        return jnp.concatenate(sp)
+
+    for _ in range(2):
+        x_pred = it.x + dw[:n]
+        viol_L = jnp.where(nlp.has_xL, nlp.x_L - x_pred, -jnp.inf)
+        viol_U = jnp.where(nlp.has_xU, x_pred - nlp.x_U, -jnp.inf)
+        viol = jnp.maximum(viol_L, viol_U)
+        target = jnp.where(viol_L >= viol_U, nlp.x_L, nlp.x_U)
+        vals, idx = jax.lax.top_k(viol, cap)
+        active = vals > bound_eps
+        B = jax.vmap(kinv_ex)(idx)
+        S = B[:, :n][:, idx].T * 0.5 + B[:, :n][:, idx] * 0.5
+        S = jnp.where(jnp.outer(active, active), S,
+                      jnp.eye(cap, dtype=dtype))
+        du = jnp.where(active, target[idx] - x_pred[idx], 0.0)
+        dl = jnp.linalg.solve(S, -du)
+        dw = dw - B.T @ jnp.where(active, dl, 0.0)
+
+    dx, ds = dw[:n], dw[n:n + mi]
+    dy_c = dw[n + mi:n + mi + me]
+    dy_d = dw[n + mi + me:]
+    sl_xL, sl_xU, sl_sL, sl_sU = kkt.slacks(nlp, it)
+    dz_L = jnp.where(nlp.has_xL, -it.z_L / sl_xL * dx, 0.0)
+    dz_U = jnp.where(nlp.has_xU, it.z_U / sl_xU * dx, 0.0)
+    dv_L = jnp.where(nlp.has_dL, -it.v_L / sl_sL * ds, 0.0)
+    dv_U = jnp.where(nlp.has_dU, it.v_U / sl_sU * ds, 0.0)
+    return SensitivityResult(dx=dx, ds=ds, dy_c=dy_c, dy_d=dy_d,
+                             dz_L=dz_L, dz_U=dz_U, dv_L=dv_L, dv_U=dv_U)
+
+
 def sensitivity_path(nlp: CanonicalNLP, opts: Options, it: Iterate,
                      param_schedule, mu=0.0) -> Iterate:
     """Multi-step sensitivity (``n_sens_steps``, SensAlgorithm.cpp:173):

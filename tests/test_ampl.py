@@ -232,3 +232,137 @@ def test_suffix_warm_start_roundtrip(nl_path, tmp_path):
     assert int(res_w.iter_count) <= 3, (int(res_w.iter_count), cold_iters)
     np.testing.assert_allclose(float(res_w.obj), problems.HS071_F_STAR,
                                rtol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# sIPOPT AMPL suffix protocol (contrib/sIPOPT/examples/parametric_ampl)
+# ---------------------------------------------------------------------------
+
+PARAMETRIC_NL = """g3 0 1 0
+5 4 1 0 4
+0 1
+0 0
+0 3 0
+0 0 0 1
+0 0 0 0 0
+10 3
+0 0
+0 0 0 0 0
+C0
+n0
+C1
+n0
+C2
+n0
+C3
+n0
+O0 0
+o54
+3
+o5
+v0
+n2
+o5
+v1
+n2
+o5
+v2
+n2
+r
+4 0
+4 -1
+4 5
+4 1
+b
+2 0
+2 0
+2 0
+3
+3
+k4
+2
+4
+6
+8
+J0 4
+0 6
+1 3
+2 2
+3 -1
+J1 4
+0 1
+1 1
+2 -1
+4 -1
+J2 1
+3 1
+J3 1
+4 1
+x5
+0 0.15
+1 0.15
+2 0.0
+3 5
+4 1
+S1 2 sens_init_constr
+2 1
+3 1
+S0 2 sens_state_1
+3 1
+4 2
+S4 2 sens_state_value_1
+3 4.5
+4 1.0
+"""
+
+
+def test_ampl_sens_suffix_round_trip(tmp_path, capsys):
+    """run_sens with the sIPOPT AMPL suffixes: the sens_sol_state_1 estimate
+    written to .sol matches a full re-solve of the perturbed problem (the
+    model is a QP with linear constraints, so the first-order estimate is
+    exact — SensAmplTNLP / parametric_ampl example parity)."""
+    import jax.numpy as jnp
+    from ipopt_tpu.interfaces.ampl import read_sol
+    from ipopt_tpu.problem import NLP as TNLP
+
+    p = tmp_path / "parametric.nl"
+    p.write_text(PARAMETRIC_NL)
+    rc = main([str(p), "run_sens=1", "print_level=0", "tol=1e-10"])
+    assert rc == 0
+    x, y, status, suf = read_sol(str(tmp_path / "parametric.sol"))
+    assert "sens_sol_state_1" in suf
+    pred = np.zeros(5)
+    for i, v in suf["sens_sol_state_1"].items():
+        pred[i] = v
+
+    # exact perturbed solve: eta1 -> 4.5 (python model mirrors the fixture)
+    def make(eta1_rhs):
+        return TNLP(
+            f=lambda z: z[0] ** 2 + z[1] ** 2 + z[2] ** 2,
+            g=lambda z: jnp.array([
+                6 * z[0] + 3 * z[1] + 2 * z[2] - z[3],
+                z[0] + z[1] - z[2] - z[4],
+                z[3],
+                z[4]]),
+            g_L=jnp.array([0.0, -1.0, eta1_rhs, 1.0]),
+            g_U=jnp.array([0.0, -1.0, eta1_rhs, 1.0]),
+            x_L=jnp.array([0.0, 0.0, 0.0, -1e20, -1e20]),
+            x0=jnp.array([0.15, 0.15, 0.0, 5.0, 1.0]))
+
+    exact = solve(make(4.5), print_level=0, tol=1e-10)
+    assert int(exact.status) == 0
+    np.testing.assert_allclose(pred, np.asarray(exact.x), atol=2e-4)
+
+
+def test_ampl_red_hessian(tmp_path, capsys):
+    """compute_red_hessian with the red_hessian variable suffix prints the
+    reduced Hessian (SensApplication.cpp:73, SensBuilder.cpp:137)."""
+    nl = PARAMETRIC_NL.replace(
+        "S4 2 sens_state_value_1\n3 4.5\n4 1.0\n",
+        "S4 2 sens_state_value_1\n3 4.5\n4 1.0\nS0 2 red_hessian\n3 1\n4 2\n")
+    p = tmp_path / "parametric_rh.nl"
+    p.write_text(nl)
+    rc = main([str(p), "compute_red_hessian=1", "print_level=0", "tol=1e-10"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Reduced Hessian" in out
