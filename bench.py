@@ -307,11 +307,11 @@ PHASES = {
     "lv1_chained_4096": phase_lv1_chained,
 }
 
-# hs071 first (headline), small/fast programs next, the heaviest program
-# loads (banded 1e5 then 1e6) LAST so their multi-minute tunnel uploads can
-# never starve the other phases.
-PHASE_ORDER = ["hs071", "mittelmann_N100", "lv1_chained_4096",
-               "lv1_banded_1e5", "lv1_banded_1e6"]
+# hs071 first (headline), then the scale phases by ascending program-load
+# cost; mittelmann LAST — its b=408 program has the slowest tunnel load and
+# must never starve the LuksanVlcek scale numbers (r5 full-run lesson).
+PHASE_ORDER = ["hs071", "lv1_chained_4096", "lv1_banded_1e5",
+               "lv1_banded_1e6", "mittelmann_N100"]
 
 
 def _run_child(name):

@@ -275,14 +275,23 @@ def _gj_inv_lanes(D):
         piv = lax.dynamic_update_slice(piv, pk[0], (k, 0))
         return Xn, piv
 
+    # (python-unrolling the b<=32 sweep was measured at parity-or-worse on
+    # the v5e — the per-iteration fori overhead is not the factorize
+    # bottleneck; see BASELINE.md r5)
     X, piv = lax.fori_loop(0, b, body, (D, jnp.zeros((b, n), dtype)))
     return X, piv
 
 
 def _mm_bn(A, B):
     """(p, q, n) @ (q, r, n) -> (p, r, n): batched matmul with the batch on
-    the minor (lane) axis."""
+    the minor (lane) axis.
+
+    Precision.HIGHEST is load-bearing: the TPU default runs f32 matmuls as
+    single-pass bf16 multiplies (~8 mantissa bits) — inside a Gauss-Jordan
+    elimination that destroys the factorization (chained f32 solved on CPU
+    but diverged on TPU with the default)."""
     return lax.dot_general(A, B, (((1,), (0,)), ((2,), (2,))),
+                           precision=lax.Precision.HIGHEST,
                            preferred_element_type=A.dtype
                            ).transpose(1, 2, 0)
 
