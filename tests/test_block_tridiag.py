@@ -127,3 +127,61 @@ def test_bcr_equilibrated_solve_and_inertia(nb, b, neg):
     x = bcr_solve(fac, rhs)
     x_ref = np.linalg.solve(Kd, np.asarray(rhs))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-7, atol=1e-7)
+
+
+def test_blocked_gj_matches_scalar():
+    """The panelized MXU Gauss-Jordan (used for b > 32) must match the
+    scalar sweep to machine precision — inverse AND pivot sequence (the
+    pivots feed the inertia counts), including on indefinite blocks."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ipopt_tpu.linalg.block_tridiag import (_gj_inv_lanes,
+                                                _gj_inv_lanes_blocked)
+    rng = np.random.default_rng(0)
+    for b, n in [(48, 5), (33, 2), (64, 3)]:
+        A = rng.standard_normal((b, b, n))
+        A = A + A.transpose(1, 0, 2) + np.eye(b)[:, :, None] * (2 * b)
+        X1, p1 = _gj_inv_lanes(jnp.asarray(A))
+        X2, p2 = _gj_inv_lanes_blocked(jnp.asarray(A))
+        np.testing.assert_allclose(np.asarray(X2), np.asarray(X1),
+                                   atol=1e-12, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   rtol=1e-9)
+        for k in range(n):
+            np.testing.assert_allclose(
+                np.asarray(X2)[:, :, k] @ A[:, :, k], np.eye(b), atol=1e-8)
+    # indefinite pivot signs (inertia information)
+    A = rng.standard_normal((40, 40, 2))
+    A = A + A.transpose(1, 0, 2)
+    A[:20, :20, :] += np.eye(20)[:, :, None] * 120
+    A[20:, 20:, :] -= np.eye(20)[:, :, None] * 120
+    _, p1 = _gj_inv_lanes(jnp.asarray(A))
+    _, p2 = _gj_inv_lanes_blocked(jnp.asarray(A))
+    assert (np.sign(np.asarray(p1)) == np.sign(np.asarray(p2))).all()
+
+
+def test_dense_root_bcr_exactness():
+    """The dense blocked-root BCR variant (off by default; _ROOT_DENSE_N)
+    stays exact with correct inertia when enabled."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ipopt_tpu.linalg import block_tridiag as bt
+    rng = np.random.default_rng(3)
+    old = bt._ROOT_DENSE_N
+    bt._ROOT_DENSE_N = 256
+    try:
+        nb, b = 40, 16
+        D = rng.standard_normal((nb, b, b))
+        D = D + D.transpose(0, 2, 1) + np.eye(b) * (3 * b)
+        S = rng.standard_normal((nb, b, b))
+        K = bt.BTDMatrix(jnp.asarray(D), jnp.asarray(S))
+        fac = bt.bcr_factorize(K)
+        x = rng.standard_normal(nb * b)
+        r = np.asarray(K.matvec(jnp.asarray(x)))
+        xs = np.asarray(bt.bcr_solve(fac, jnp.asarray(r)))
+        np.testing.assert_allclose(xs, x, atol=1e-8)
+        w = np.linalg.eigvalsh(np.asarray(K.to_dense()))
+        assert int(fac.num_pos) == int((w > 0).sum())
+        assert int(fac.num_neg) == int((w < 0).sum())
+    finally:
+        bt._ROOT_DENSE_N = old
